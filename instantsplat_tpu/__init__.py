@@ -1,0 +1,27 @@
+"""instantsplat_tpu — a TPU-native sparse-view, pose-free 3D Gaussian Splatting framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of NVlabs/InstantSplat
+(reference pipeline: MASt3R pointmap init -> global alignment -> joint Gaussian+pose
+optimization -> render/eval), built TPU-first:
+
+- the differentiable rasterizer is an MXU-formulated compositor (pixel-monomial x
+  Gaussian-feature matmuls) with a Pallas tile kernel on the hot path, instead of a
+  CUDA tile rasterizer;
+- the geometry-init stack (ViT pointmap model + global aligner) is a jitted JAX graph;
+- multi-chip scaling is expressed with jax.sharding.Mesh + pjit/shard_map collectives
+  (pixels/tiles sharded, Gaussians replicated, gradients psum'd).
+
+Subpackages:
+  utils     core math: quaternions/SE3/sim3, spherical harmonics, LR schedules
+  models    parameter pytrees: GaussianModel, cameras, MASt3R/DUSt3R ViT
+  ops       compute ops: rasterization (oracle + Pallas), SSIM, KNN, losses
+  opt       optimizers (grouped Adam, per-point Adam) and schedules
+  init      pointmap inference, pair graph, global alignment (SfM-free init)
+  data      image/COLMAP/PLY I/O, train-test splits, co-visibility masks
+  render    pose-differentiable render driver
+  parallel  device mesh setup + sharding rules
+  eval      PSNR/SSIM/LPIPS and ATE/RPE pose metrics
+  pipelines end-to-end entry points (init_geo, train, render, metrics)
+"""
+
+__version__ = "0.1.0"
