@@ -83,8 +83,11 @@ class Camera:
             pose=pose,
             fx=jnp.float32(fx),
             fy=jnp.float32(fy),
-            cx=jnp.float32(width / 2 if cx is None else cx),
-            cy=jnp.float32(height / 2 if cy is None else cy),
+            # default principal point matches the reference CUDA ndc2Pix
+            # convention ((W-1)/2), not the COLMAP W/2 — COLMAP cx/cy are
+            # discarded by the reference loader (scene/dataset_readers.py).
+            cx=jnp.float32((width - 1) / 2 if cx is None else cx),
+            cy=jnp.float32((height - 1) / 2 if cy is None else cy),
             image=None if image is None else jnp.asarray(image, jnp.float32),
             height=int(height),
             width=int(width),

@@ -1,0 +1,164 @@
+"""Pose-differentiable render driver.
+
+Functional equivalent of the reference `gaussian_renderer/__init__.py:render`
+(the InstantSplat variant that keeps the camera pose in the autodiff graph).
+The reference achieves pose gradients by passing an identity view matrix to
+the CUDA rasterizer and pre-transforming Gaussian means/rotations by the
+learnable pose outside the kernel (gaussian_renderer/__init__.py:55-90). In
+JAX none of that indirection is needed: the pose is simply an input to a pure
+function and grad flows through the world->camera transform inside
+`project_gaussians`.
+
+Semantics parity notes:
+- SH view directions are camera-frame (the reference evaluates SH with
+  campos=origin after pre-transforming means — gaussian_renderer/__init__.py
+  :59,83-90 — so directions are view-space); we reproduce that.
+- color = max(SH + 0.5, 0) clamp as in the CUDA `computeColorFromSH`.
+- background blend, alpha clamp 0.99, 1/255 cutoff, 1e-4 T termination: see
+  ops/rasterize.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from instantsplat_tpu.models.camera import Camera
+from instantsplat_tpu.models.gaussians import GaussianModel
+from instantsplat_tpu.ops import rasterize
+from instantsplat_tpu.ops.projection import project_gaussians
+from instantsplat_tpu.utils import sh as SH
+from instantsplat_tpu.utils import transforms as T
+
+
+class RenderOut(NamedTuple):
+    render: jax.Array  # [H, W, 3]
+    alpha: jax.Array  # [H, W]
+    depth: jax.Array  # [H, W]
+    radii: jax.Array  # [N] screen-space 3-sigma radii (0 = culled)
+    visibility: jax.Array  # [N] bool, radii > 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("active_sh_degree", "height", "width", "chunk", "backend"),
+)
+def _render_impl(
+    gaussians: GaussianModel,
+    pose: jax.Array,
+    fx,
+    fy,
+    cx,
+    cy,
+    bg: jax.Array,
+    scale_modifier,
+    active_sh_degree: int,
+    height: int,
+    width: int,
+    chunk: int,
+    backend: str,
+) -> RenderOut:
+    R = T.quat_to_rotmat(pose[:4])
+    t = pose[4:7]
+
+    cov3d = gaussians.get_covariance(scale_modifier)
+    xyz = gaussians.xyz
+
+    # Camera-frame view directions for SH (reference quirk, see module doc).
+    t_view = xyz @ R.T + t
+    dirs = t_view / jnp.maximum(jnp.linalg.norm(t_view, axis=-1, keepdims=True), 1e-8)
+    shs = gaussians.get_features()
+    colors = jnp.maximum(SH.eval_sh(active_sh_degree, shs, dirs) + 0.5, 0.0)
+
+    proj = project_gaussians(xyz, cov3d, R, t, fx, fy, cx, cy, width, height)
+
+    order = rasterize.sort_by_depth(proj.depth, proj.valid)
+    log_op = jnp.log(jnp.maximum(gaussians.get_opacity()[:, 0], 1e-12))
+
+    if backend == "oracle":
+        out = rasterize.composite(
+            proj.mean2d[order],
+            proj.conic[order],
+            log_op[order],
+            colors[order],
+            proj.depth[order],
+            proj.valid[order],
+            height=height,
+            width=width,
+            bg=bg,
+            chunk=chunk,
+        )
+    elif backend == "pallas":
+        from instantsplat_tpu.ops import rasterize_pallas
+
+        out = rasterize_pallas.composite_tiles(
+            proj.mean2d[order],
+            proj.conic[order],
+            log_op[order],
+            colors[order],
+            proj.depth[order],
+            proj.valid[order],
+            proj.radius[order],
+            height=height,
+            width=width,
+            bg=bg,
+        )
+    else:
+        raise ValueError(f"unknown rasterizer backend: {backend}")
+
+    return RenderOut(
+        render=out.rgb,
+        alpha=out.alpha,
+        depth=out.depth,
+        radii=proj.radius,
+        visibility=proj.valid,
+    )
+
+
+def render(
+    gaussians: GaussianModel,
+    camera: Camera,
+    pose: Optional[jax.Array] = None,
+    bg: Optional[jax.Array] = None,
+    scale_modifier: float = 1.0,
+    active_sh_degree: Optional[int] = None,
+    chunk: int = 256,
+    backend: str = "oracle",
+) -> RenderOut:
+    """Render one view.
+
+    Args:
+      gaussians: scene parameters (raw, pre-activation).
+      camera: intrinsics + fallback pose + static H/W.
+      pose: optional [7] learnable w2c pose overriding camera.pose — pass
+        `gaussians.get_pose(uid)` during joint optimization (reference
+        train.py:152-158).
+      bg: [3] background (reference default black, train.py:105-107).
+      active_sh_degree: SH bands to evaluate (reference ramps this up during
+        training, train.py:148-149); defaults to max.
+      backend: 'oracle' (pure-jnp scan) or 'pallas' (tile kernel).
+    """
+    if pose is None:
+        pose = camera.pose
+    if bg is None:
+        bg = jnp.zeros(3, jnp.float32)
+    if active_sh_degree is None:
+        active_sh_degree = gaussians.max_sh_degree
+    return _render_impl(
+        gaussians,
+        pose,
+        camera.fx,
+        camera.fy,
+        camera.cx,
+        camera.cy,
+        bg,
+        jnp.float32(scale_modifier),
+        active_sh_degree,
+        camera.height,
+        camera.width,
+        chunk,
+        backend,
+    )

@@ -1,0 +1,100 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instantsplat_tpu.models.camera import Camera
+from instantsplat_tpu.models.gaussians import GaussianModel
+from instantsplat_tpu.render import render
+from instantsplat_tpu.utils import transforms as T
+
+
+def make_scene(n=50, seed=0, views=2):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    pts = jax.random.normal(ks[0], (n, 3)) * 0.5 + jnp.array([0.0, 0.0, 4.0])
+    cols = jax.random.uniform(ks[1], (n, 3))
+    poses = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0]), (views, 1))
+    g = GaussianModel.create_from_pcd(pts, cols, cam_poses=poses, max_sh_degree=1)
+    cam = Camera.create(
+        R=np.eye(3), t=np.zeros(3), fx=60.0, fy=60.0, height=48, width=48, uid=0
+    )
+    return g, cam
+
+
+def test_render_shapes_and_ranges():
+    g, cam = make_scene()
+    out = render(g, cam, chunk=64)
+    assert out.render.shape == (48, 48, 3)
+    assert out.alpha.shape == (48, 48)
+    assert out.radii.shape == (50,)
+    arr = np.asarray(out.render)
+    assert np.all(np.isfinite(arr)) and arr.min() >= 0
+    assert np.asarray(out.alpha).max() > 0.01  # something was drawn
+
+
+def test_single_gaussian_projects_to_expected_pixel():
+    pts = jnp.array([[0.5, -0.25, 5.0]])
+    cols = jnp.array([[1.0, 1.0, 1.0]])
+    g = GaussianModel.create_from_pcd(
+        pts, cols, cam_poses=jnp.array([[1.0, 0, 0, 0, 0, 0, 0]]),
+        max_sh_degree=0, scale_override=np.array([0.2]),
+    )
+    g = g.replace(opacity=jnp.full((1, 1), 10.0))  # ~opaque
+    cam = Camera.create(np.eye(3), np.zeros(3), fx=100.0, fy=100.0, height=64, width=64)
+    out = render(g, cam, chunk=8)
+    a = np.asarray(out.alpha)
+    peak = np.unravel_index(a.argmax(), a.shape)
+    # expected pixel: x = fx * X/Z + cx = 100*0.1 + 31.5 = 41.5; y = -5 + 31.5 = 26.5
+    assert abs(peak[1] - 41.5) <= 1.0, peak
+    assert abs(peak[0] - 26.5) <= 1.0, peak
+
+
+def test_pose_override_matches_camera_pose():
+    g, cam = make_scene(seed=2)
+    out1 = render(g, cam, chunk=64)
+    out2 = render(g, cam, pose=cam.pose, chunk=64)
+    np.testing.assert_allclose(out1.render, out2.render, atol=0)
+
+
+def test_pose_gradients_flow():
+    g, cam = make_scene(seed=3)
+    # anisotropic scales: isotropic Gaussians have exactly zero rotation grad
+    g = g.replace(scaling=g.scaling + jnp.array([0.5, -0.5, 0.1]))
+    target = jax.random.uniform(jax.random.PRNGKey(9), (48, 48, 3))
+
+    def loss(pose, gauss):
+        out = render(gauss, cam, pose=pose, chunk=64)
+        return jnp.mean(jnp.abs(out.render - target))
+
+    gp, gg = jax.grad(loss, argnums=(0, 1))(cam.pose, g)
+    assert np.all(np.isfinite(np.asarray(gp))) and np.abs(np.asarray(gp)).max() > 0
+    for name in ("xyz", "scaling", "rotation", "opacity", "features_dc"):
+        arr = np.asarray(getattr(gg, name))
+        assert np.all(np.isfinite(arr)), name
+        assert np.abs(arr).max() > 0, name
+
+
+def test_translated_pose_shifts_image():
+    g, cam = make_scene(seed=4)
+    out0 = np.asarray(render(g, cam, chunk=64).render)
+    pose_shift = cam.pose.at[4].add(0.5)  # move camera in x
+    out1 = np.asarray(render(g, cam, pose=pose_shift, chunk=64).render)
+    assert np.abs(out0 - out1).max() > 0.01
+
+
+def test_rotated_camera_consistency():
+    """Rendering with pose Q equals rendering a scene rigidly transformed by
+    Q with identity pose (covariances + SH DC only)."""
+    g, cam = make_scene(seed=5)
+    q = T.quat_normalize(jnp.array([0.9, 0.1, -0.2, 0.15]))
+    t = jnp.array([0.1, -0.2, 0.3])
+    pose = jnp.concatenate([q, t])
+    out_posed = np.asarray(render(g, cam, pose=pose, chunk=64).render)
+
+    # transform the scene instead
+    M = T.pose_to_matrix(pose)
+    xyz2 = T.transform_points(M, g.xyz[None])[0]
+    R = T.quat_to_rotmat(q)
+    rot2 = T.quat_multiply(jnp.broadcast_to(T.rotmat_to_quat(R), (g.num_points, 4)), g.get_rotation())
+    g2 = g.replace(xyz=xyz2, rotation=rot2)
+    out_ident = np.asarray(render(g2, cam, pose=cam.pose, chunk=64).render)
+    np.testing.assert_allclose(out_posed, out_ident, atol=2e-3)
