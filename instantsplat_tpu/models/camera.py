@@ -54,9 +54,9 @@ class Camera:
     cx: jax.Array
     cy: jax.Array
     image: Optional[jax.Array] = None
+    uid: jax.Array = dataclasses.field(default=0)  # data leaf so cameras stack
     height: int = dataclasses.field(default=0, metadata=dict(static=True))
     width: int = dataclasses.field(default=0, metadata=dict(static=True))
-    uid: int = dataclasses.field(default=0, metadata=dict(static=True))
     znear: float = dataclasses.field(default=0.01, metadata=dict(static=True))
     zfar: float = dataclasses.field(default=100.0, metadata=dict(static=True))
 
@@ -89,9 +89,9 @@ class Camera:
             cx=jnp.float32((width - 1) / 2 if cx is None else cx),
             cy=jnp.float32((height - 1) / 2 if cy is None else cy),
             image=None if image is None else jnp.asarray(image, jnp.float32),
+            uid=jnp.int32(uid),
             height=int(height),
             width=int(width),
-            uid=int(uid),
         )
 
     @property

@@ -1,0 +1,148 @@
+"""Joint Gaussian + camera-pose optimization loop.
+
+TPU-native re-design of the reference training stage (train.py:88-231):
+each iteration renders one training view with its learnable pose, computes
+0.8*L1 + 0.2*(1-SSIM) against the ground truth, and applies the grouped
+(optionally per-point) Adam update — but here the render + loss + backward +
+update is ONE jitted XLA program (`train_step`), with parameters donated
+between steps so the whole loop runs on-device without host round-trips.
+
+Parity notes:
+- view sampling: random without replacement per epoch (reference
+  train.py:152-155 pops from a shuffled viewpoint stack);
+- SH degree ramp: +1 band every 1000 iterations (train.py:148-149);
+- background: white/black by config; optional random background per
+  iteration (arguments/__init__.py:90 `random_background`);
+- densification is intentionally absent: the reference disables it for
+  sparse-view joint optimization (train.py:196-206 commented out; the point
+  count is fixed from init — SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instantsplat_tpu.models.camera import Camera, stack_cameras
+from instantsplat_tpu.models.gaussians import GaussianModel
+from instantsplat_tpu.opt.gaussian_opt import (
+    AdamState,
+    GaussianOptimizer,
+    OptimizationConfig,
+)
+from instantsplat_tpu.ops.losses import photometric_loss, psnr
+from instantsplat_tpu.render.driver import render
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    iterations: int = 1000
+    white_background: bool = False
+    backend: str = "oracle"
+    chunk: int = 256
+    sh_up_interval: int = 1000  # reference train.py:148-149
+    seed: int = 0
+    log_every: int = 100
+
+
+def make_train_step(
+    optimizer: GaussianOptimizer,
+    cameras: Camera,  # batched [V, ...] pytree
+    bg: jax.Array,
+    lambda_dssim: float,
+    backend: str,
+    chunk: int,
+):
+    """Build the jitted (render -> loss -> grad -> update) step."""
+
+    # NOTE: no buffer donation — freshly-initialized Adam moments are
+    # XLA-deduplicated zero constants, and donating aliased buffers is an
+    # error. The win from donation here is small (params are MBs, not GBs).
+    @functools.partial(jax.jit, static_argnames=("active_sh",))
+    def train_step(
+        params: GaussianModel,
+        opt_state: AdamState,
+        view_idx,
+        iteration,
+        active_sh: int,
+    ):
+        cam = jax.tree.map(lambda x: x[view_idx], cameras)
+
+        def loss_fn(p: GaussianModel):
+            pose = p.get_pose(view_idx)
+            out = render(
+                p,
+                cam,
+                pose=pose,
+                bg=bg,
+                active_sh_degree=active_sh,
+                chunk=chunk,
+                backend=backend,
+            )
+            loss, aux = photometric_loss(out.render, cam.image, lambda_dssim)
+            aux["psnr"] = psnr(out.render, cam.image)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        params, opt_state = optimizer.step(params, grads, opt_state, iteration)
+        metrics = dict(loss=loss, **aux)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def train_joint(
+    params: GaussianModel,
+    cameras: list[Camera],
+    opt_cfg: OptimizationConfig = OptimizationConfig(),
+    trainer_cfg: TrainerConfig = TrainerConfig(),
+    spatial_lr_scale: float = 1.0,
+    confidence_lr: Optional[np.ndarray] = None,
+    progress_cb: Optional[Callable[[int, dict], None]] = None,
+):
+    """Run the joint optimization loop.
+
+    Returns (params, opt_state, history) where history is a list of
+    (iteration, metrics-dict) at log_every cadence plus the final step.
+    """
+    stacked = stack_cameras(cameras)
+    n_views = len(cameras)
+    bg = jnp.ones(3) if trainer_cfg.white_background else jnp.zeros(3)
+
+    optimizer = GaussianOptimizer(
+        opt_cfg,
+        spatial_lr_scale=spatial_lr_scale,
+        total_iterations=trainer_cfg.iterations,
+    )
+    opt_state = optimizer.init(params, confidence_lr=confidence_lr)
+
+    step_fn = make_train_step(
+        optimizer, stacked, bg, opt_cfg.lambda_dssim, trainer_cfg.backend,
+        trainer_cfg.chunk,
+    )
+
+    rng = np.random.RandomState(trainer_cfg.seed)
+    queue: list[int] = []
+    history = []
+    t0 = time.time()
+    for it in range(1, trainer_cfg.iterations + 1):
+        if not queue:
+            queue = list(rng.permutation(n_views))
+        view_idx = int(queue.pop())
+        active_sh = min(it // trainer_cfg.sh_up_interval, params.max_sh_degree)
+        params, opt_state, metrics = step_fn(
+            params, opt_state, jnp.int32(view_idx), jnp.int32(it), active_sh
+        )
+        if it % trainer_cfg.log_every == 0 or it == trainer_cfg.iterations:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["elapsed_s"] = time.time() - t0
+            history.append((it, m))
+            if progress_cb is not None:
+                progress_cb(it, m)
+    return params, opt_state, history
