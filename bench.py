@@ -1,0 +1,96 @@
+"""Rasterization throughput benchmark (runs on the real TPU chip).
+
+Measures the full training-iteration hot path — pose-differentiable render
+forward + backward + grouped Adam update — at an InstantSplat-scale workload,
+and reports megapixels/s rasterized fwd+bwd per chip (BASELINE.json north-star
+metric).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "Mpix/s", "vs_baseline": N}
+
+vs_baseline: the reference pipeline trains 1000 joint-opt iterations in tens
+of seconds on one NVIDIA GPU (BASELINE.md: no published numbers; harness
+semantics at train.py + train_time.txt). We use 10 Mpix/s fwd+bwd as the
+nominal reference-GPU training-loop throughput for the ratio; the absolute
+value is the honest number.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MPIX_S = 10.0
+
+# Workload: between BASELINE.json configs 1 and 2 — 512x384 render, 100k
+# Gaussians (a typical 3-view co-vis-masked point count), SH degree 3.
+N_GAUSS = 100_000
+H, W = 384, 512
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from instantsplat_tpu.models.camera import Camera, stack_cameras
+    from instantsplat_tpu.models.gaussians import GaussianModel
+    from instantsplat_tpu.opt import GaussianOptimizer, OptimizationConfig
+    from instantsplat_tpu.pipelines.trainer import make_train_step
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    pts = jax.random.normal(ks[0], (N_GAUSS, 3)) * 1.5 + jnp.array([0.0, 0.0, 6.0])
+    cols = jax.random.uniform(ks[1], (N_GAUSS, 3))
+    poses = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0]), (2, 1))
+    params = GaussianModel.create_from_pcd(pts, cols, cam_poses=poses, max_sh_degree=3)
+
+    gt = jax.random.uniform(ks[2], (H, W, 3))
+    cams = [
+        Camera.create(np.eye(3), np.zeros(3), fx=400.0, fy=400.0, height=H,
+                      width=W, uid=i, image=np.asarray(gt))
+        for i in range(2)
+    ]
+    stacked = stack_cameras(cams)
+
+    opt = GaussianOptimizer(OptimizationConfig(optim_pose=True), total_iterations=1000)
+    state = opt.init(params)
+
+    backend = "pallas"
+    try:
+        from instantsplat_tpu.ops import rasterize_pallas  # noqa: F401
+    except Exception:
+        backend = "oracle"
+
+    step = make_train_step(
+        opt, stacked, jnp.zeros(3), 0.2, backend=backend, chunk=512
+    )
+
+    def run(n):
+        nonlocal params, state
+        for it in range(1, n + 1):
+            params, state, m = step(
+                params, state, jnp.int32(it % 2), jnp.int32(it), 3
+            )
+        jax.block_until_ready(m["loss"])
+        return m
+
+    run(WARMUP)
+    t0 = time.perf_counter()
+    m = run(ITERS)
+    dt = time.perf_counter() - t0
+
+    mpix_s = H * W * ITERS / dt / 1e6
+    result = {
+        "metric": f"train-iter Mpix/s fwd+bwd per chip ({backend}, {N_GAUSS} gauss, {W}x{H})",
+        "value": round(mpix_s, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

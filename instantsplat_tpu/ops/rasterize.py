@@ -45,11 +45,15 @@ class CompositeOut(NamedTuple):
     depth: jax.Array  # [H, W] alpha-weighted expected depth (0 where empty)
 
 
-def _pixel_coords(height: int, width: int):
-    """Pixel-center coordinates, CUDA convention: centers at integer coords."""
+def _pixel_coords(height: int, width: int, y_offset=0.0):
+    """Pixel-center coordinates, CUDA convention: centers at integer coords.
+
+    y_offset shifts the row index — used when compositing a row-block of a
+    larger image (pixel-sharded rendering across a device mesh).
+    """
     py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0).reshape(-1)
     px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1).reshape(-1)
-    return px, py
+    return px, py + y_offset
 
 
 @functools.partial(
@@ -67,6 +71,7 @@ def composite(
     bg: Optional[jax.Array] = None,
     chunk: int = 256,
     with_depth: bool = True,
+    y_offset=0.0,
 ) -> CompositeOut:
     """Composite depth-sorted Gaussians over the full image.
 
@@ -94,7 +99,7 @@ def composite(
     colors = _pad(colors)
     gdepth = _pad(depth)
 
-    px, py = _pixel_coords(height, width)
+    px, py = _pixel_coords(height, width, y_offset)
     n_pix = height * width
 
     steps = n_pad // chunk

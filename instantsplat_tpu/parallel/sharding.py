@@ -1,0 +1,146 @@
+"""Device mesh + sharding rules for multi-chip training and rendering.
+
+The reference has no device-parallel capability at all in its pipeline (its
+only parallelism is a shell script launching one scene per GPU —
+scripts/run_eval.sh:42-50; SURVEY.md §2.2). This module is the new,
+first-class TPU capability: scale ONE scene across a chip mesh.
+
+Sharding layout (BASELINE.json north star):
+- Gaussians: replicated on every chip (a sparse-view scene is 10^4..10^6
+  Gaussians — a few hundred MB at most, and every tile may touch any
+  Gaussian);
+- pixels: the image is split into contiguous row-blocks, one per chip; each
+  chip composites its rows against the full depth-sortedAussian list;
+- the rendered row-blocks are `all_gather`ed (tiled) into a replicated image
+  so the SSIM window never crosses a shard boundary;
+- gradients: the transpose of `shard_map` + `all_gather` automatically
+  reduce-scatters the pixel gradients and `psum`s the replicated Gaussian /
+  pose gradients over the ICI mesh — no hand-written collectives in the
+  training step.
+
+The same code runs on a real TPU pod slice and on the CPU test mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from instantsplat_tpu.models.camera import Camera
+from instantsplat_tpu.models.gaussians import GaussianModel
+from instantsplat_tpu.opt.gaussian_opt import GaussianOptimizer
+from instantsplat_tpu.ops import rasterize
+from instantsplat_tpu.ops.losses import photometric_loss, psnr
+from instantsplat_tpu.render.driver import prepare_sorted_splats
+
+AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = AXIS) -> Mesh:
+    """1-D mesh over the first n_devices (default: all local devices)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def _padded_rows(height: int, ndev: int) -> int:
+    return ((height + ndev - 1) // ndev) * ndev // ndev
+
+
+def sharded_render(
+    gaussians: GaussianModel,
+    camera: Camera,
+    mesh: Mesh,
+    pose: Optional[jax.Array] = None,
+    bg: Optional[jax.Array] = None,
+    active_sh_degree: Optional[int] = None,
+    chunk: int = 256,
+    scale_modifier: float = 1.0,
+):
+    """Render one view with pixel rows sharded over the mesh.
+
+    Returns (rgb [H,W,3], alpha [H,W], depth [H,W]) replicated on all chips.
+    Differentiable w.r.t. gaussians and pose (gradients psum'd over the mesh).
+    """
+    if pose is None:
+        pose = camera.pose
+    if bg is None:
+        bg = jnp.zeros(3, jnp.float32)
+    if active_sh_degree is None:
+        active_sh_degree = gaussians.max_sh_degree
+    H, W = camera.height, camera.width
+    ndev = mesh.shape[AXIS]
+    rows_per = _padded_rows(H, ndev)
+
+    sorted_splats, _ = prepare_sorted_splats(
+        gaussians, pose, camera.fx, camera.fy, camera.cx, camera.cy,
+        jnp.float32(scale_modifier), active_sh_degree, H, W,
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        # the compositor's scan carries are initialized device-invariant but
+        # become device-varying (each chip renders different rows); skip the
+        # varying-manual-axes check rather than thread pvary through a
+        # backend-agnostic compositor.
+        check_vma=False,
+    )
+    def _rows(m2, cn, lo, col, dep, val, bg_):
+        i = jax.lax.axis_index(AXIS)
+        y0 = (i * rows_per).astype(jnp.float32)
+        out = rasterize.composite(
+            m2, cn, lo, col, dep, val,
+            height=rows_per, width=W, bg=bg_, chunk=chunk, y_offset=y0,
+        )
+        rgb = jax.lax.all_gather(out.rgb, AXIS, axis=0, tiled=True)
+        alpha = jax.lax.all_gather(out.alpha, AXIS, axis=0, tiled=True)
+        depth = jax.lax.all_gather(out.depth, AXIS, axis=0, tiled=True)
+        return rgb, alpha, depth
+
+    rgb, alpha, depth = _rows(*sorted_splats, bg)
+    return rgb[:H], alpha[:H], depth[:H]
+
+
+def make_sharded_train_step(
+    optimizer: GaussianOptimizer,
+    cameras: Camera,  # batched [V, ...] pytree
+    bg: jax.Array,
+    lambda_dssim: float,
+    mesh: Mesh,
+    chunk: int = 256,
+):
+    """Pixel-sharded version of pipelines.trainer.make_train_step.
+
+    One jitted program: render (rows sharded over chips) -> photometric loss
+    -> backward (Gaussian/pose grads psum'd over ICI) -> grouped Adam update
+    (replicated)."""
+
+    @functools.partial(jax.jit, static_argnames=("active_sh",))
+    def train_step(params, opt_state, view_idx, iteration, active_sh: int):
+        cam = jax.tree.map(lambda x: x[view_idx], cameras)
+
+        def loss_fn(p):
+            pose = p.get_pose(view_idx)
+            rgb, _, _ = sharded_render(
+                p, cam, mesh, pose=pose, bg=bg,
+                active_sh_degree=active_sh, chunk=chunk,
+            )
+            loss, aux = photometric_loss(rgb, cam.image, lambda_dssim)
+            aux["psnr"] = psnr(rgb, cam.image)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        params, opt_state = optimizer.step(params, grads, opt_state, iteration)
+        return params, opt_state, dict(loss=loss, **aux)
+
+    return train_step

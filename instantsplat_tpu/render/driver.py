@@ -42,6 +42,50 @@ class RenderOut(NamedTuple):
     visibility: jax.Array  # [N] bool, radii > 0
 
 
+def prepare_sorted_splats(
+    gaussians: GaussianModel,
+    pose: jax.Array,
+    fx,
+    fy,
+    cx,
+    cy,
+    scale_modifier,
+    active_sh_degree: int,
+    height: int,
+    width: int,
+):
+    """Shared geometry front-end: activate, transform by pose, SH-shade,
+    project, depth-sort. Returns (mean2d, conic, log_opacity, colors, depth,
+    valid) all sorted front-to-back, plus the projection record in original
+    order. Used by both the single-chip driver and the pixel-sharded path
+    (instantsplat_tpu.parallel)."""
+    R = T.quat_to_rotmat(pose[:4])
+    t = pose[4:7]
+
+    cov3d = gaussians.get_covariance(scale_modifier)
+    xyz = gaussians.xyz
+
+    # Camera-frame view directions for SH (reference quirk, see module doc).
+    t_view = xyz @ R.T + t
+    dirs = t_view / jnp.maximum(jnp.linalg.norm(t_view, axis=-1, keepdims=True), 1e-8)
+    shs = gaussians.get_features()
+    colors = jnp.maximum(SH.eval_sh(active_sh_degree, shs, dirs) + 0.5, 0.0)
+
+    proj = project_gaussians(xyz, cov3d, R, t, fx, fy, cx, cy, width, height)
+
+    order = rasterize.sort_by_depth(proj.depth, proj.valid)
+    log_op = jnp.log(jnp.maximum(gaussians.get_opacity()[:, 0], 1e-12))
+    sorted_splats = (
+        proj.mean2d[order],
+        proj.conic[order],
+        log_op[order],
+        colors[order],
+        proj.depth[order],
+        proj.valid[order],
+    )
+    return sorted_splats, proj
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("active_sh_degree", "height", "width", "chunk", "backend"),
@@ -61,50 +105,23 @@ def _render_impl(
     chunk: int,
     backend: str,
 ) -> RenderOut:
-    R = T.quat_to_rotmat(pose[:4])
-    t = pose[4:7]
-
-    cov3d = gaussians.get_covariance(scale_modifier)
-    xyz = gaussians.xyz
-
-    # Camera-frame view directions for SH (reference quirk, see module doc).
-    t_view = xyz @ R.T + t
-    dirs = t_view / jnp.maximum(jnp.linalg.norm(t_view, axis=-1, keepdims=True), 1e-8)
-    shs = gaussians.get_features()
-    colors = jnp.maximum(SH.eval_sh(active_sh_degree, shs, dirs) + 0.5, 0.0)
-
-    proj = project_gaussians(xyz, cov3d, R, t, fx, fy, cx, cy, width, height)
-
-    order = rasterize.sort_by_depth(proj.depth, proj.valid)
-    log_op = jnp.log(jnp.maximum(gaussians.get_opacity()[:, 0], 1e-12))
+    sorted_splats, proj = prepare_sorted_splats(
+        gaussians, pose, fx, fy, cx, cy, scale_modifier, active_sh_degree,
+        height, width,
+    )
+    mean2d, conic, log_op, colors, depth, valid = sorted_splats
 
     if backend == "oracle":
         out = rasterize.composite(
-            proj.mean2d[order],
-            proj.conic[order],
-            log_op[order],
-            colors[order],
-            proj.depth[order],
-            proj.valid[order],
-            height=height,
-            width=width,
-            bg=bg,
-            chunk=chunk,
+            mean2d, conic, log_op, colors, depth, valid,
+            height=height, width=width, bg=bg, chunk=chunk,
         )
     elif backend == "pallas":
         from instantsplat_tpu.ops import rasterize_pallas
 
         out = rasterize_pallas.composite_tiles(
-            proj.mean2d[order],
-            proj.conic[order],
-            log_op[order],
-            colors[order],
-            proj.depth[order],
-            proj.valid[order],
-            proj.radius[order],
-            height=height,
-            width=width,
-            bg=bg,
+            mean2d, conic, log_op, colors, depth, valid,
+            height=height, width=width, bg=bg,
         )
     else:
         raise ValueError(f"unknown rasterizer backend: {backend}")
