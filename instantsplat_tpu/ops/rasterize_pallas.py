@@ -1,0 +1,507 @@
+"""Pallas TPU tile rasterizer: differentiable Gaussian compositing kernels.
+
+TPU-native equivalent of the reference CUDA `diff-gaussian-rasterization`
+submodule (call site gaussian_renderer/__init__.py:126-135). Same compositing
+semantics as the pure-jnp oracle (ops/rasterize.py — alpha clamp 0.99, 1/255
+cutoff, latched 1e-4 transmittance termination), but structured for the TPU
+memory model instead of CUDA tiles + global atomics:
+
+- Gaussians are depth-sorted globally and processed in fixed-size chunks
+  (G per grid step) by a 1-D pallas grid; the full pixel strip's compositing
+  state (rgb+depth accumulators, log-transmittance, done latch,
+  last-contributor index) stays resident in VMEM across grid steps, stored
+  [n_row_blocks, P] so each row block is an aligned sublane slice.
+- The in-chunk prefix sum over log-transmittance — the sequential dependence
+  the CUDA kernel resolves with a per-pixel loop — is one lower-triangular
+  [G, G] x [G, P] matmul on the MXU per row block.
+- The termination latch needs no second scan: in-chunk transmittance is
+  monotonically non-increasing, so "fired at-or-before j" is exactly
+  logT_post_j < log(1e-4), and the carried T (which excludes the firing
+  Gaussian, matching the CUDA `continue`) never crosses the threshold.
+- Within a chunk, pixels advance in row blocks; a device-computed
+  (row-block x chunk) bitmap — each Gaussian's y-extent at its alpha-cutoff
+  radius — skips blocks a chunk cannot touch, and a per-row-block
+  "all pixels terminated" latch skips saturated blocks (this replaces CUDA
+  per-tile binning + per-thread early exit).
+- Backward is a second kernel walking chunks back-to-front (the standard
+  3DGS backward): per pixel it reconstructs each Gaussian's incident
+  transmittance from the stored final T and the in-chunk suffix of log
+  opacities, excludes post-latch Gaussians via the stored last-contributor
+  index, and accumulates the suffix-color dot products needed for d(alpha).
+
+Gradients flow to mean2d, conic, opacity, color, and per-Gaussian depth; the
+projection / SH / pose math stays in plain JAX outside this custom_vjp
+boundary, so camera-pose gradients (InstantSplat's key requirement,
+gaussian_renderer/__init__.py:81-90) are handled by autodiff upstream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from instantsplat_tpu.ops.rasterize import (
+    ALPHA_EPS,
+    ALPHA_MAX,
+    LOG_TERM,
+    CompositeOut,
+)
+
+# Tunables: G Gaussians per grid step (sublane axis), BLOCK_ROWS image rows
+# per inner pixel block (pixels = BLOCK_ROWS * padded width on the lane
+# axis), strips of at most STRIP_ROWS rows bound resident VMEM state.
+G_CHUNK = 128
+BLOCK_ROWS = 4
+STRIP_ROWS = 256
+_LOG_ALPHA_EPS = float(jnp.log(ALPHA_EPS))
+_LOG_TERM = float(LOG_TERM)
+_DOT = dict(preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _tri(g: int):
+    """Lower-triangular ones (inclusive diagonal): cumsum-as-matmul operand."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    return (r >= c).astype(jnp.float32)
+
+
+def _cumsum_g(tri, x):
+    """Inclusive prefix sum along the Gaussian (sublane) axis via the MXU."""
+    return jax.lax.dot_general(tri, x, (((1,), (0,)), ((), ())), **_DOT)
+
+
+def _falloff(blk, px, py):
+    """Shared falloff math: [G, P] power/alpha from a packed Gaussian block.
+
+    Column layout of `blk` [G, 16]: 0 mx, 1 my, 2 conic_a, 3 conic_b,
+    4 conic_c, 5 log_opacity (-inf for invalid/padding), 6:10 (r, g, b,
+    depth).
+    """
+    mx, my = blk[:, 0:1], blk[:, 1:2]
+    ca, cb, cc = blk[:, 2:3], blk[:, 3:4], blk[:, 4:5]
+    lo = blk[:, 5:6]
+    dx = px - mx  # [1, P] - [G, 1] -> [G, P]
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    a_un = jnp.exp(power + lo)
+    alpha = jnp.minimum(ALPHA_MAX, a_un)
+    alpha = jnp.where((power > 0.0) | (alpha < ALPHA_EPS), 0.0, alpha)
+    return dx, dy, a_un, alpha
+
+
+def _pixel_coords(rb, n_pix, width):
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, n_pix), 1)
+    px = (idx % width).astype(jnp.float32)
+    py = (rb * BLOCK_ROWS + idx // width).astype(jnp.float32)
+    return px, py
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    bits_ref,  # SMEM [n_rb, n_words] int32 (scalar prefetch)
+    gauss_ref,  # VMEM [G, 16] packed chunk (depth-sorted)
+    acc_ref,  # out [4, n_rb, P] rgb+depth accumulators (persist across steps)
+    tfin_ref,  # out [n_rb, P] final transmittance
+    lc_ref,  # out [n_rb, P] int32 last contributing (global sorted) index
+    logt_ref,  # scratch [n_rb, P] log transmittance carry
+    done_ref,  # scratch [n_rb, P] f32 0/1 latched termination
+    rowdone_ref,  # scratch SMEM [n_rb] int32
+):
+    c = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+    n_rb, n_pix = logt_ref.shape
+    g = gauss_ref.shape[0]
+    width = n_pix // BLOCK_ROWS
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        lc_ref[:] = jnp.full(lc_ref.shape, -1, jnp.int32)
+        logt_ref[:] = jnp.zeros_like(logt_ref)
+        done_ref[:] = jnp.zeros_like(done_ref)
+        for i in range(n_rb):
+            rowdone_ref[i] = 0
+
+    blk = gauss_ref[:]
+    tri = _tri(g)
+    base = c * g
+    word = c // 32
+    bit = c % 32
+
+    def row_block(rb, _):
+        active = ((bits_ref[rb, word] >> bit) & 1) == 1
+
+        @pl.when(active & (rowdone_ref[rb] == 0))
+        def _():
+            px, py = _pixel_coords(rb, n_pix, width)
+            _, _, _, alpha = _falloff(blk, px, py)
+            hit = alpha > 0.0
+            l = jnp.where(hit, jnp.log1p(-alpha), 0.0)
+            cum = _cumsum_g(tri, l)
+            logt_row = logt_ref[pl.ds(rb, 1), :]  # [1, P]
+            logt_post = logt_row + cum
+            # logt_post is non-increasing in j, so the latched termination
+            # (oracle done_seq: fired at-or-before j) is simply
+            # logt_post_j < LOG_TERM, and the carried logT never crosses it
+            # (the firing Gaussian is excluded) — one scan, no cummax.
+            done_row = done_ref[pl.ds(rb, 1), :]
+            contribute = hit & (done_row < 0.5) & (logt_post >= _LOG_TERM)
+            w = jnp.where(contribute, alpha * jnp.exp(logt_post - l), 0.0)
+            # per-channel broadcast-multiply + sublane-reduce (no K=4 matmul)
+            for ch in range(4):
+                ch_contrib = jnp.sum(
+                    w * blk[:, 6 + ch : 7 + ch], 0, keepdims=True
+                )  # [1, P]
+                acc_ref[ch, pl.ds(rb, 1), :] = (
+                    acc_ref[ch, pl.ds(rb, 1), :] + ch_contrib
+                )
+            # logT after the chunk = min over contributors (monotone).
+            logt_ref[pl.ds(rb, 1), :] = jnp.min(
+                jnp.where(contribute, logt_post, logt_row), 0, keepdims=True
+            )
+            gidx = base + jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 0)
+            lc_row = lc_ref[pl.ds(rb, 1), :]
+            lc_ref[pl.ds(rb, 1), :] = jnp.maximum(
+                lc_row, jnp.max(jnp.where(contribute, gidx, -1), 0, keepdims=True)
+            )
+            fired = (hit & (logt_post < _LOG_TERM)).astype(jnp.float32)
+            new_done = jnp.maximum(done_row, jnp.max(fired, 0, keepdims=True))
+            done_ref[pl.ds(rb, 1), :] = new_done
+            rowdone_ref[rb] = jnp.min(new_done).astype(jnp.int32)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_rb, row_block, 0)
+
+    @pl.when(c == n_chunks - 1)
+    def _final():
+        tfin_ref[:] = jnp.exp(logt_ref[:])
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel (chunks walked back-to-front)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    bits_ref,  # SMEM [n_rb, n_words]
+    gauss_ref,  # VMEM [G, 16] — chunk n_chunks-1-c (reversed index map)
+    g4_ref,  # VMEM [4, n_rb, P] cotangents for (rgb_pre, depth)
+    gtu_ref,  # VMEM [n_rb, P] g_T * T_final
+    tfin_ref,  # VMEM [n_rb, P]
+    lc_ref,  # VMEM [n_rb, P] int32
+    dgauss_ref,  # out [G, 16] — chunk n_chunks-1-c
+    ss_ref,  # scratch [n_rb, P]: g4 . (suffix weighted color)
+    logtr_ref,  # scratch [n_rb, P]: log T after current chunk
+):
+    c = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+    n_rb, n_pix = ss_ref.shape
+    g = gauss_ref.shape[0]
+    width = n_pix // BLOCK_ROWS
+    k = n_chunks - 1 - c  # chunk being processed
+
+    @pl.when(c == 0)
+    def _init():
+        ss_ref[:] = jnp.zeros_like(ss_ref)
+        logtr_ref[:] = jnp.log(jnp.maximum(tfin_ref[:], 1e-30))
+
+    blk = gauss_ref[:]
+    tri = _tri(g)
+    base = k * g
+    word = k // 32
+    bit = k % 32
+    dgauss_ref[:] = jnp.zeros_like(dgauss_ref)
+
+    def row_block(rb, _):
+        active = ((bits_ref[rb, word] >> bit) & 1) == 1
+        lc_row = lc_ref[pl.ds(rb, 1), :]
+        has_contrib = jnp.max(lc_row) >= base
+
+        @pl.when(active & has_contrib)
+        def _():
+            px, py = _pixel_coords(rb, n_pix, width)
+            dx, dy, a_un, alpha = _falloff(blk, px, py)
+            gidx = base + jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 0)
+            contribute = (alpha > 0.0) & (gidx <= lc_row)
+            om = jnp.where(contribute, 1.0 - alpha, 1.0)
+            l = jnp.where(contribute, jnp.log1p(-alpha), 0.0)
+            cum = _cumsum_g(tri, l)
+            total_l = cum[g - 1 : g, :]
+            csuf = total_l - cum + l  # sum_{k>=j} l_k
+            logt_end = logtr_ref[pl.ds(rb, 1), :]
+            t_at = jnp.exp(logt_end - csuf)  # T incident on Gaussian j
+            w = jnp.where(contribute, alpha * t_at, 0.0)
+
+            # b1[j, p] = g4_p . c4_j as 4 broadcasted FMAs ([G,1] x [1,P])
+            b1 = jnp.zeros_like(alpha)
+            for ch in range(4):
+                b1 = b1 + blk[:, 6 + ch : 7 + ch] * g4_ref[
+                    ch, pl.ds(rb, 1), :
+                ]
+            e = w * b1
+            ecum = _cumsum_g(tri, e)
+            etot = ecum[g - 1 : g, :]
+            esuf = etot - ecum  # sum_{k>j} e_k (exclusive)
+
+            ss_row = ss_ref[pl.ds(rb, 1), :]
+            gtu_row = gtu_ref[pl.ds(rb, 1), :]
+            dalpha = jnp.where(
+                contribute,
+                b1 * t_at - (ss_row + gtu_row + esuf) / om,
+                0.0,
+            )
+            dpow = dalpha * jnp.where(a_un < ALPHA_MAX, a_un, 0.0)
+            ca, cb, cc = blk[:, 2:3], blk[:, 3:4], blk[:, 4:5]
+            dmx = jnp.sum(dpow * (ca * dx + cb * dy), 1, keepdims=True)
+            dmy = jnp.sum(dpow * (cc * dy + cb * dx), 1, keepdims=True)
+            dca = jnp.sum(dpow * (-0.5 * dx * dx), 1, keepdims=True)
+            dcb = jnp.sum(dpow * (-dx * dy), 1, keepdims=True)
+            dcc = jnp.sum(dpow * (-0.5 * dy * dy), 1, keepdims=True)
+            dlo = jnp.sum(dpow, 1, keepdims=True)
+            dc4 = [
+                jnp.sum(w * g4_ref[ch, pl.ds(rb, 1), :], 1, keepdims=True)
+                for ch in range(4)
+            ]
+            delta = jnp.concatenate(
+                [dmx, dmy, dca, dcb, dcc, dlo, *dc4,
+                 jnp.zeros((g, 6), jnp.float32)],
+                axis=1,
+            )  # [G, 16]
+            dgauss_ref[:] = dgauss_ref[:] + delta
+            ss_ref[pl.ds(rb, 1), :] = ss_row + etot
+            logtr_ref[pl.ds(rb, 1), :] = logt_end - total_l
+
+        return 0
+
+    jax.lax.fori_loop(0, n_rb, row_block, 0)
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers
+# ---------------------------------------------------------------------------
+
+
+def _pack_gaussians(mean2d, conic, log_opacity, colors, depth, valid, y0):
+    """[N_pad, 16] packed + padded Gaussian array (columns per _falloff)."""
+    n = mean2d.shape[0]
+    n_pad = _round_up(max(n, G_CHUNK), G_CHUNK)
+    lo = jnp.where(valid, log_opacity, -jnp.inf)
+    mean2d = mean2d - jnp.array([0.0, float(y0)], jnp.float32)
+    packed = jnp.concatenate(
+        [mean2d, conic, lo[:, None], colors, depth[:, None],
+         jnp.zeros((n, 6), jnp.float32)],
+        axis=1,
+    )
+    return jnp.pad(packed, ((0, n_pad - n), (0, 0))).at[n:, 5].set(-jnp.inf)
+
+
+def _row_block_bitmap(mean2d, conic, log_opacity, valid, y0, n_rows, n_chunks):
+    """[n_rb, n_words] int32: bit c set iff chunk c can touch the row block.
+
+    Per Gaussian the y-extent is the alpha-cutoff radius along the 2D
+    covariance's major axis: alpha >= 1/255 requires
+    0.5 d^T Conic d <= log_op - log(1/255), so |d| <= sqrt(2 m lam_max) with
+    cov2d = inv(conic). Mirrors the reference's 3-sigma tile binning
+    (radius from the max eigenvalue) but tied to the exact cutoff used in
+    compositing, so no contributing Gaussian is ever skipped.
+    """
+    ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+    det = ca * cc - cb * cb
+    ok = valid & (det > 0.0) & (ca > 0.0)
+    tr_cov = jnp.where(ok, (ca + cc) / jnp.maximum(det, 1e-30), 0.0)
+    det_cov = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-30), 0.0)
+    mid = 0.5 * tr_cov
+    lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det_cov, 0.0))
+    m = jnp.maximum(log_opacity - _LOG_ALPHA_EPS, 0.0)
+    r = jnp.sqrt(2.0 * m * lam_max) * 1.001 + 1.0
+    r = jnp.where(ok & (m > 0.0), r, -1.0)  # r < 0 => never contributes
+
+    y = mean2d[:, 1] - float(y0)
+    n_rb = n_rows // BLOCK_ROWS
+    rb_lo = jnp.clip(jnp.floor((y - r) / BLOCK_ROWS).astype(jnp.int32), 0, n_rb)
+    rb_hi = jnp.clip(jnp.floor((y + r) / BLOCK_ROWS).astype(jnp.int32), -1, n_rb - 1)
+    # coverage counts via +1/-1 scatter at interval ends, cumsum over rows
+    n = mean2d.shape[0]
+    n_pad = _round_up(max(n, G_CHUNK), G_CHUNK)
+    cidx = jnp.arange(n_pad) // G_CHUNK
+    rb_lo = jnp.pad(rb_lo, (0, n_pad - n), constant_values=0)
+    rb_hi = jnp.pad(rb_hi, (0, n_pad - n), constant_values=-1)
+    alive = rb_hi >= rb_lo
+    marks = jnp.zeros((n_chunks, n_rb + 1), jnp.int32)
+    marks = marks.at[cidx, jnp.where(alive, rb_lo, n_rb)].add(
+        jnp.where(alive, 1, 0)
+    )
+    marks = marks.at[cidx, jnp.where(alive, rb_hi + 1, n_rb)].add(
+        jnp.where(alive, -1, 0)
+    )
+    cover = jnp.cumsum(marks[:, :n_rb], axis=1) > 0  # [n_chunks, n_rb]
+    n_words = _round_up(n_chunks, 32) // 32
+    pad_c = n_words * 32 - n_chunks
+    cover = jnp.pad(cover, ((0, pad_c), (0, 0)))  # [n_words*32, n_rb]
+    cover = cover.reshape(n_words, 32, n_rb).astype(jnp.int32)
+    shifts = (1 << jnp.arange(32, dtype=jnp.int32))[None, :, None]
+    bits = jnp.sum(cover * shifts, axis=1)  # [n_words, n_rb]
+    return bits.T.astype(jnp.int32)  # [n_rb, n_words]
+
+
+def _strip_shapes(n, n_rows, width):
+    n_pad = _round_up(max(n, G_CHUNK), G_CHUNK)
+    n_chunks = n_pad // G_CHUNK
+    n_rb = n_rows // BLOCK_ROWS
+    n_pix = BLOCK_ROWS * width
+    return n_pad, n_chunks, n_rb, n_pix
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _composite_strip(
+    mean2d, conic, log_opacity, colors, depth, valid,
+    y0: int, n_rows: int, width: int, interpret: bool,
+):
+    out, _ = _composite_strip_fwd(
+        mean2d, conic, log_opacity, colors, depth, valid,
+        y0, n_rows, width, interpret,
+    )
+    return out
+
+
+def _composite_strip_fwd(
+    mean2d, conic, log_opacity, colors, depth, valid,
+    y0, n_rows, width, interpret,
+):
+    n = mean2d.shape[0]
+    n_pad, n_chunks, n_rb, n_pix = _strip_shapes(n, n_rows, width)
+    packed = _pack_gaussians(mean2d, conic, log_opacity, colors, depth, valid, y0)
+    bits = _row_block_bitmap(mean2d, conic, log_opacity, valid, y0, n_rows, n_chunks)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((G_CHUNK, 16), lambda c, bits: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((4, n_rb, n_pix), lambda c, bits: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rb, n_pix), lambda c, bits: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rb, n_pix), lambda c, bits: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_rb, n_pix), jnp.float32),
+            pltpu.VMEM((n_rb, n_pix), jnp.float32),
+            pltpu.SMEM((n_rb,), jnp.int32),
+        ],
+    )
+    acc, tfin, lc = pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((4, n_rb, n_pix), jnp.float32),
+            jax.ShapeDtypeStruct((n_rb, n_pix), jnp.float32),
+            jax.ShapeDtypeStruct((n_rb, n_pix), jnp.int32),
+        ),
+        interpret=interpret,
+    )(bits, packed)
+    residuals = (packed, bits, tfin, lc, n)
+    return (acc, tfin, lc), residuals
+
+
+def _composite_strip_bwd(y0, n_rows, width, interpret, residuals, cots):
+    packed, bits, tfin, lc, n = residuals
+    g_acc, g_tfin, _ = cots
+    if g_acc is None:
+        g_acc = jnp.zeros((4,) + tfin.shape, jnp.float32)
+    if g_tfin is None:
+        g_tfin = jnp.zeros_like(tfin)
+    gtu = g_tfin * tfin
+
+    n_pad, n_chunks, n_rb, n_pix = _strip_shapes(n, n_rows, width)
+    rev = lambda c, bits: (n_chunks - 1 - c, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((G_CHUNK, 16), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_rb, n_pix), lambda c, bits: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rb, n_pix), lambda c, bits: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rb, n_pix), lambda c, bits: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rb, n_pix), lambda c, bits: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G_CHUNK, 16), rev, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_rb, n_pix), jnp.float32),
+            pltpu.VMEM((n_rb, n_pix), jnp.float32),
+        ],
+    )
+    dgauss = pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, 16), jnp.float32),
+        interpret=interpret,
+    )(bits, packed, g_acc, gtu, tfin, lc)
+
+    dgauss = dgauss[:n]
+    return (
+        dgauss[:, 0:2],  # d mean2d
+        dgauss[:, 2:5],  # d conic
+        dgauss[:, 5],  # d log_opacity
+        dgauss[:, 6:9],  # d colors
+        dgauss[:, 9],  # d depth
+        None,  # valid (bool)
+    )
+
+
+_composite_strip.defvjp(_composite_strip_fwd, _composite_strip_bwd)
+
+
+def composite_tiles(
+    mean2d, conic, log_opacity, colors, depth, valid,
+    height: int, width: int, bg=None, interpret: bool | None = None,
+) -> CompositeOut:
+    """Drop-in Pallas replacement for rasterize.composite (same semantics).
+
+    All per-Gaussian arrays must be depth-sorted front-to-back (use
+    rasterize.sort_by_depth). Differentiable w.r.t. all float inputs incl. bg.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    w_pad = _round_up(width, 128)
+    h_pad = _round_up(height, BLOCK_ROWS)
+
+    accs, tfins = [], []
+    for y0 in range(0, h_pad, STRIP_ROWS):
+        rows = min(STRIP_ROWS, h_pad - y0)
+        acc, tfin, _ = _composite_strip(
+            mean2d, conic, log_opacity, colors, depth, valid,
+            y0, rows, w_pad, interpret,
+        )
+        n_rb = rows // BLOCK_ROWS
+        accs.append(acc.reshape(4, n_rb * BLOCK_ROWS, w_pad))
+        tfins.append(tfin.reshape(n_rb * BLOCK_ROWS, w_pad))
+    acc = jnp.concatenate(accs, axis=1)[:, :height, :width]
+    tfin = jnp.concatenate(tfins, axis=0)[:height, :width]
+
+    rgb = jnp.moveaxis(acc[:3], 0, -1)  # [H, W, 3]
+    if bg is not None:
+        rgb = rgb + tfin[:, :, None] * bg[None, None, :]
+    return CompositeOut(rgb=rgb, alpha=1.0 - tfin, depth=acc[3])

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from instantsplat_tpu.models.camera import Camera
 from instantsplat_tpu.models.gaussians import GaussianModel
-from instantsplat_tpu.ops import rasterize
+from instantsplat_tpu.ops import rasterize, rasterize_pallas
 from instantsplat_tpu.ops.projection import project_gaussians
 from instantsplat_tpu.utils import sh as SH
 from instantsplat_tpu.utils import transforms as T
@@ -117,8 +117,6 @@ def _render_impl(
             height=height, width=width, bg=bg, chunk=chunk,
         )
     elif backend == "pallas":
-        from instantsplat_tpu.ops import rasterize_pallas
-
         out = rasterize_pallas.composite_tiles(
             mean2d, conic, log_op, colors, depth, valid,
             height=height, width=width, bg=bg,
