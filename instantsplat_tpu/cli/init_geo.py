@@ -1,0 +1,57 @@
+"""Stage-1 CLI: geometry initialization (MASt3R -> global alignment).
+
+Usage (mirrors reference init_geo.py, scripts/run_eval.sh:70-77):
+
+  python -m instantsplat_tpu.cli.init_geo -s <scene> -m <out> \
+      --n_views 3 --ckpt_path <mast3r.pth> --focal_avg
+
+Requires a MASt3R checkpoint for the pointmap model; in environments
+without one the stage exits with an explanatory error (the rest of the
+pipeline runs from any COLMAP-format scene, e.g. one produced by the
+reference's init_geo).
+"""
+
+from __future__ import annotations
+
+from argparse import ArgumentParser
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="geometry initialization")
+    parser.add_argument("--source_path", "-s", required=True)
+    parser.add_argument("--model_path", "-m", required=True)
+    parser.add_argument("--ckpt_path", type=str, default="")
+    parser.add_argument("--n_views", type=int, default=3)
+    parser.add_argument("--image_size", type=int, default=512)
+    parser.add_argument("--niter", type=int, default=300)
+    parser.add_argument("--lr", type=float, default=0.01)
+    parser.add_argument("--schedule", type=str, default="cosine")
+    parser.add_argument("--focal_avg", action="store_true")
+    parser.add_argument("--conf_aware_ranking", action="store_true")
+    parser.add_argument("--co_vis_dsp", action="store_true")
+    parser.add_argument("--depth_thre", type=float, default=0.01)
+    parser.add_argument("--infer_video", action="store_true")
+    parser.add_argument("--batch_size", type=int, default=8)
+    args = parser.parse_args(argv)
+
+    from instantsplat_tpu.models.mast3r_infer import make_pointmap_fn
+
+    pointmap_fn = make_pointmap_fn(
+        args.ckpt_path, batch_size=args.batch_size)
+
+    from instantsplat_tpu.pipelines.init_geo_pipeline import run_init_geo
+
+    run_init_geo(
+        args.source_path, args.model_path, pointmap_fn,
+        n_views=args.n_views, image_size=args.image_size,
+        niter=args.niter, lr=args.lr, schedule=args.schedule,
+        focal_avg=args.focal_avg,
+        conf_aware_ranking=args.conf_aware_ranking,
+        depth_thre=args.depth_thre, co_vis_dsp=args.co_vis_dsp,
+        infer_video=args.infer_video, save_all_pts=True,
+    )
+    print(f"[init_geo] done -> {args.source_path}/sparse_{args.n_views}")
+
+
+if __name__ == "__main__":
+    main()

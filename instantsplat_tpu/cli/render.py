@@ -1,0 +1,45 @@
+"""Stage-3/4 CLI: render train/test/interpolated views.
+
+Usage (mirrors reference render.py, scripts/run_eval.sh:105-123):
+
+  python -m instantsplat_tpu.cli.render -s <scene> -m <out> --n_views 3 \
+      --iteration 1000 [--skip_train] [--skip_test] [--infer_video]
+"""
+
+from __future__ import annotations
+
+from argparse import ArgumentParser
+
+from instantsplat_tpu.pipelines import config as C
+from instantsplat_tpu.pipelines.render_pipeline import run_render
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="render trained scene")
+    C.add_group(parser, C.ModelParams,
+                abbrevs={"source_path": "s", "model_path": "m"})
+    C.add_group(parser, C.PipelineParams)
+    parser.add_argument("--iteration", type=int, default=-1)
+    parser.add_argument("--skip_train", action="store_true")
+    parser.add_argument("--skip_test", action="store_true")
+    parser.add_argument("--infer_video", action="store_true")
+    parser.add_argument("--optim_test_pose_iter", type=int, default=500)
+    parser.add_argument("--test_fps", action="store_true")
+    args = C.get_combined_args(parser, argv)
+
+    model = C.extract_group(args, C.ModelParams)
+    it = run_render(
+        model,
+        iteration=args.iteration,
+        skip_train=args.skip_train,
+        skip_test=args.skip_test,
+        infer_video=args.infer_video,
+        optim_test_pose_iter=args.optim_test_pose_iter,
+        test_fps=args.test_fps,
+        backend=args.backend,
+    )
+    print(f"[render] done (iteration {it}) -> {model.model_path}")
+
+
+if __name__ == "__main__":
+    main()

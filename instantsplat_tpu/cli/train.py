@@ -1,0 +1,54 @@
+"""Stage-2 CLI: joint Gaussian + pose training.
+
+Usage (mirrors reference train.py flags, scripts/run_eval.sh:82-90):
+
+  python -m instantsplat_tpu.cli.train -s <scene> -m <out> --n_views 3 \
+      --iterations 1000 --pp_optimizer --optim_pose
+"""
+
+from __future__ import annotations
+
+from argparse import ArgumentParser
+
+from instantsplat_tpu.pipelines import config as C
+from instantsplat_tpu.pipelines.train_pipeline import run_training
+from instantsplat_tpu.pipelines.trainer import TrainerConfig
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="joint Gaussian+pose training")
+    C.add_group(parser, C.ModelParams,
+                abbrevs={"source_path": "s", "model_path": "m"})
+    C.add_group(parser, C.PipelineParams)
+    C.add_opt_group(parser)
+    parser.add_argument("--save_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--test_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--quiet", action="store_true")
+    args = parser.parse_args(argv)
+
+    model = C.extract_group(args, C.ModelParams)
+    opt = C.make_opt_config(args)
+    trainer = TrainerConfig(
+        iterations=args.iterations,
+        white_background=model.white_background,
+        backend=args.backend,
+    )
+
+    def progress(it, m):
+        if not args.quiet:
+            print(f"[train] iter {it}: loss={m['loss']:.5f} "
+                  f"psnr={m['psnr']:.2f}", flush=True)
+
+    run_training(
+        model, opt, trainer,
+        save_iterations=args.save_iterations or None,
+        checkpoint_iterations=args.checkpoint_iterations,
+        progress_cb=progress,
+    )
+    print(f"[train] done -> {model.model_path}")
+
+
+if __name__ == "__main__":
+    main()

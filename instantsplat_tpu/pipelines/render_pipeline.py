@@ -1,0 +1,244 @@
+"""Stage 3/4: render train/test/interpolated views from a trained model.
+
+Pipeline equivalent of the reference render.py (SURVEY.md §3.3):
+
+- train branch: re-bind the optimized poses (pose_optimized.npy) onto the
+  train cameras and render each (render.py:78-97, 205-216);
+- test branch: per-view TEST-TIME POSE OPTIMIZATION — freeze all Gaussian
+  parameters and refine each test camera's [7] pose against a masked L1
+  (mask = rendering > 0) for 500 Adam iterations (lr_T=3e-3, lr_q=1e-3,
+  betas (0.9, 0.999), weight_decay 1e-4, cosine anneal to 1e-4), keeping
+  the best-loss pose (render.py:99-186). On TPU the whole per-view refine
+  is ONE jitted lax.fori_loop — 500 iterations compile to a single XLA
+  while-loop instead of 500 python steps;
+- interp branch: spline-interpolated 10 s / 30 fps trajectory rendered to
+  frames (render.py:36-76, 233-248); mp4 encoding is gated on imageio;
+- FPS benchmark: 1000 renders, trimmed mean of the middle 800
+  (render.py:172-186), appended to total_fps.json.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from instantsplat_tpu.data import images as image_io, scene as scene_io
+from instantsplat_tpu.models.camera import Camera
+from instantsplat_tpu.ops.losses import masked_l1_loss
+from instantsplat_tpu.pipelines.train_pipeline import load_trained
+from instantsplat_tpu.render.driver import render
+from instantsplat_tpu.utils import camera_paths
+from instantsplat_tpu.utils import transforms as T
+
+
+def _w2c_to_pose7(mats):
+    import jax.numpy as jnp
+
+    return np.asarray(T.matrix_to_pose(jnp.asarray(mats, jnp.float32)))
+
+
+def render_view_set(
+    model_path, name, iteration, cameras, poses7, params,
+    backend="pallas", white_background=False, save_gt=True,
+):
+    """Render views with given [V,7] poses; write renders/ (+ gt/)."""
+    import jax.numpy as jnp
+
+    out_dir = Path(model_path) / name / f"ours_{iteration}"
+    (out_dir / "renders").mkdir(parents=True, exist_ok=True)
+    if save_gt:
+        (out_dir / "gt").mkdir(parents=True, exist_ok=True)
+    bg = jnp.ones(3) if white_background else jnp.zeros(3)
+    for idx, cam in enumerate(cameras):
+        out = render(params, cam, pose=jnp.asarray(poses7[idx]), bg=bg,
+                     backend=backend)
+        image_io.save_image(
+            out_dir / "renders" / f"{idx:05d}.png",
+            np.clip(np.asarray(out.render), 0, 1))
+        if save_gt and cam.image is not None:
+            image_io.save_image(out_dir / "gt" / f"{idx:05d}.png",
+                                np.asarray(cam.image))
+    return out_dir
+
+
+def make_pose_refiner(params, camera: Camera, backend="pallas",
+                      num_iter=500, lr_t=3e-3, lr_q=1e-3, lr_min=1e-4,
+                      weight_decay=1e-4, bg=None):
+    """Jitted per-view test-time pose refinement (render.py:116-165).
+
+    Returns fn(pose7, gt) -> (best_pose7, best_loss): 500 Adam steps on the
+    (quat, trans) split with cosine-annealed LRs, masked-L1 objective, and
+    an argmin-loss pose latch — all inside one XLA fori_loop.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if bg is None:
+        bg = jnp.zeros(3)
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+
+    def loss_fn(pose, gt):
+        out = render(params, camera, pose=pose, bg=bg, backend=backend)
+        mask = (out.render > 0.0).astype(jnp.float32)
+        return masked_l1_loss(out.render, gt, mask)
+
+    @jax.jit
+    def refine(pose0, gt):
+        def step(it, carry):
+            pose, m, v, best_pose, best_loss = carry
+            t = it.astype(jnp.float32)
+            cos = (1 + jnp.cos(jnp.pi * t / num_iter)) / 2
+            cur_t = lr_min + (lr_t - lr_min) * cos
+            cur_q = lr_min + (lr_q - lr_min) * cos
+            lr_vec = jnp.concatenate(
+                [jnp.full(4, cur_q), jnp.full(3, cur_t)])
+            loss, g = jax.value_and_grad(loss_fn)(pose, gt)
+            g = g + weight_decay * pose  # AdamW-style decay (torch Adam
+            # weight_decay adds wd*p to the gradient)
+            m = beta1 * m + (1 - beta1) * g
+            v = beta2 * v + (1 - beta2) * g * g
+            tt = t + 1.0
+            upd = lr_vec * (m / (1 - beta1**tt)) / (
+                jnp.sqrt(v / (1 - beta2**tt)) + eps)
+            better = loss < best_loss
+            best_pose = jnp.where(better, pose, best_pose)
+            best_loss = jnp.minimum(loss, best_loss)
+            return pose - upd, m, v, best_pose, best_loss
+
+        init = (pose0, jnp.zeros_like(pose0), jnp.zeros_like(pose0),
+                pose0, jnp.inf)
+        _, _, _, best_pose, best_loss = jax.lax.fori_loop(
+            0, num_iter, step, init)
+        return best_pose, best_loss
+
+    return refine
+
+
+def render_set_optimize(
+    model_path, name, iteration, cameras, poses7, params,
+    backend="pallas", white_background=False, num_iter=500,
+    test_fps=False,
+):
+    """Test branch: refine each view's pose, then render (render.py:99-186).
+
+    Returns the refined [V,7] poses.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    out_dir = Path(model_path) / name / f"ours_{iteration}"
+    (out_dir / "renders").mkdir(parents=True, exist_ok=True)
+    (out_dir / "gt").mkdir(parents=True, exist_ok=True)
+    bg = jnp.ones(3) if white_background else jnp.zeros(3)
+
+    refined = []
+    refiner = make_pose_refiner(
+        params, cameras[0], backend=backend, num_iter=num_iter, bg=bg)
+    for idx, cam in enumerate(cameras):
+        pose0 = jnp.asarray(poses7[idx])
+        gt = cam.image
+        best_pose, _ = refiner(pose0, gt)
+        refined.append(np.asarray(best_pose))
+        out = render(params, cam, pose=best_pose, bg=bg, backend=backend)
+        image_io.save_image(out_dir / "renders" / f"{idx:05d}.png",
+                            np.clip(np.asarray(out.render), 0, 1))
+        image_io.save_image(out_dir / "gt" / f"{idx:05d}.png",
+                            np.asarray(gt))
+
+    if test_fps:
+        pose = jnp.asarray(refined[-1])
+        cam = cameras[-1]
+        fn = jax.jit(lambda p: render(params, cam, pose=p, bg=bg,
+                                      backend=backend).render)
+        jax.block_until_ready(fn(pose))
+        times = []
+        for _ in range(1000):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(pose))
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        fps = 1.0 / (sum(times[100:900]) / 800.0)
+        with open(Path(model_path) / "total_fps.json", "a") as f:
+            json.dump(f"{fps}", f, indent=True)
+            f.write("\n")
+        print(f">>> FPS = {fps:.1f}")
+    return np.stack(refined)
+
+
+def save_interpolated_poses(model_path, iteration, n_views):
+    """render.py:36-57: spline path over the optimized poses -> npy."""
+    pdir = Path(model_path) / "pose" / f"ours_{iteration}"
+    org = np.load(pdir / "pose_optimized.npy")
+    inter = camera_paths.video_path_from_train_poses(org, n_views)
+    np.save(pdir / "pose_interpolated.npy", inter)
+    return inter
+
+
+def frames_to_video(frame_dir, out_path, fps=30):
+    """mp4 from frames (render.py:60-76); gated on imageio availability."""
+    try:
+        import imageio
+    except ImportError:
+        print("[render] imageio unavailable: frames left in", frame_dir)
+        return False
+    frames = [
+        imageio.imread(p)
+        for p in sorted(Path(frame_dir).glob("*.png"))
+    ]
+    imageio.mimwrite(out_path, frames, fps=fps)
+    return True
+
+
+def run_render(
+    model: "ModelParams",  # noqa: F821
+    iteration=-1,
+    skip_train=False,
+    skip_test=False,
+    infer_video=False,
+    optim_test_pose_iter=500,
+    test_fps=True,
+    backend="pallas",
+):
+    """Full render_sets flow (render.py:189-248)."""
+    model_path = Path(model.model_path)
+    train_info = scene_io.read_scene(
+        model.source_path, model.n_views, split="train",
+        images_dir=model.images)
+    params, iteration = load_trained(
+        model_path, iteration, sh_degree=model.sh_degree)
+
+    if not skip_train:
+        opt_poses = np.load(
+            model_path / "pose" / f"ours_{iteration}" / "pose_optimized.npy")
+        render_view_set(
+            model_path, "train", iteration, train_info.cameras,
+            _w2c_to_pose7(opt_poses), params, backend=backend,
+            white_background=model.white_background)
+
+    if not skip_test and not infer_video:
+        test_info = scene_io.read_scene(
+            model.source_path, model.n_views, split="test",
+            images_dir=model.images)
+        poses7 = _w2c_to_pose7(test_info.poses_w2c)
+        render_set_optimize(
+            model_path, "test", iteration, test_info.cameras, poses7,
+            params, backend=backend,
+            white_background=model.white_background,
+            num_iter=optim_test_pose_iter, test_fps=test_fps)
+
+    if infer_video:
+        inter = save_interpolated_poses(model_path, iteration, model.n_views)
+        cam0 = train_info.cameras[0]
+        cams = [cam0.replace(image=None) for _ in range(len(inter))]
+        out_dir = render_view_set(
+            model_path, "interp", iteration, cams, _w2c_to_pose7(inter),
+            params, backend=backend,
+            white_background=model.white_background, save_gt=False)
+        frames_to_video(
+            out_dir / "renders",
+            model_path / f"interp_{model.n_views}_view.mp4")
+    return iteration

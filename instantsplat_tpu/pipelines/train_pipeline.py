@@ -1,0 +1,175 @@
+"""Stage 2: joint Gaussian + camera-pose training from a sparse_{n} scene.
+
+Pipeline equivalent of the reference train.py:88-231 (see SURVEY.md §3.2):
+reads the COLMAP-format scene init_geo wrote, builds the Gaussian model
+from the fused point cloud (KNN scales), attaches learnable per-view poses,
+runs the jitted joint optimization (pipelines/trainer.py), and writes the
+reference's artifact set:
+
+  <model>/point_cloud/iteration_{it}/point_cloud.ply   (3DGS ply)
+  <model>/pose/ours_{it}/pose_org.npy                  (init w2c mats)
+  <model>/pose/ours_{it}/pose_optimized.npy            (optimized w2c mats)
+  <model>/cfg_args                                     (namespace dump)
+  <model>/train_time.txt                               ('[2] train_joint')
+  <model>/ckpt/...                                     (orbax-style npz)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from argparse import Namespace
+from pathlib import Path
+
+import numpy as np
+
+from instantsplat_tpu.data import ply, scene as scene_io
+from instantsplat_tpu.models.camera import Camera
+from instantsplat_tpu.models.gaussians import GaussianModel
+from instantsplat_tpu.opt.gaussian_opt import (
+    OptimizationConfig,
+    confidence_to_lr,
+)
+from instantsplat_tpu.pipelines.config import ModelParams
+from instantsplat_tpu.pipelines.trainer import TrainerConfig, train_joint
+from instantsplat_tpu.utils import transforms as T
+
+
+def poses_7_to_w2c(pose7):
+    """[V,7] quat+trans params -> [V,4,4] w2c (reference save_pose,
+    train.py:44-60 via get_camera_from_tensor)."""
+    import jax.numpy as jnp
+
+    return np.asarray(T.pose_to_matrix(jnp.asarray(pose7, jnp.float32)))
+
+
+def save_checkpoint(path, params: GaussianModel, opt_state, iteration):
+    """Full-state checkpoint (reference capture/restore + torch.save,
+    gaussian_model.py:65-99, train.py:225-227) as a flat npz."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    flat = {"iteration": np.asarray(iteration)}
+    for f in dataclasses.fields(GaussianModel):
+        if f.metadata.get("static"):
+            continue
+        flat[f"p_{f.name}"] = np.asarray(getattr(params, f.name))
+        flat[f"m_{f.name}"] = np.asarray(getattr(opt_state.m, f.name))
+        flat[f"v_{f.name}"] = np.asarray(getattr(opt_state.v, f.name))
+    flat["step"] = np.asarray(opt_state.step)
+    if opt_state.per_point_lr is not None:
+        flat["per_point_lr"] = np.asarray(opt_state.per_point_lr)
+    flat["max_sh_degree"] = np.asarray(params.max_sh_degree)
+    np.savez(path, **flat)
+
+
+def load_checkpoint(path):
+    """-> (params, AdamState, iteration)."""
+    import jax.numpy as jnp
+
+    from instantsplat_tpu.opt.gaussian_opt import AdamState
+
+    z = np.load(path)
+    d = int(z["max_sh_degree"])
+
+    def build(prefix):
+        kw = {
+            f.name: jnp.asarray(z[f"{prefix}_{f.name}"])
+            for f in dataclasses.fields(GaussianModel)
+            if not f.metadata.get("static")
+        }
+        return GaussianModel(max_sh_degree=d, **kw)
+
+    params = build("p")
+    state = AdamState(
+        m=build("m"),
+        v=build("v"),
+        step=jnp.asarray(z["step"]),
+        per_point_lr=(jnp.asarray(z["per_point_lr"])
+                      if "per_point_lr" in z else None),
+    )
+    return params, state, int(z["iteration"])
+
+
+def run_training(
+    model: ModelParams,
+    opt: OptimizationConfig,
+    trainer: TrainerConfig,
+    save_iterations=None,
+    checkpoint_iterations=(),
+    progress_cb=None,
+):
+    """Returns (params, history). Writes the reference artifact tree."""
+    model_path = Path(model.model_path)
+    model_path.mkdir(parents=True, exist_ok=True)
+    save_iterations = sorted(set(
+        [trainer.iterations] if save_iterations is None
+        else list(save_iterations) + [trainer.iterations]))
+
+    info = scene_io.read_scene(
+        model.source_path, model.n_views, split="train",
+        images_dir=model.images,
+        resolution_scale=1.0 if model.resolution in (-1, 1)
+        else float(model.resolution),
+    )
+    cam_poses = GaussianModel.init_cam_poses_from_w2c(info.poses_w2c)
+    params = GaussianModel.create_from_pcd(
+        info.points, info.colors, cam_poses=cam_poses,
+        max_sh_degree=model.sh_degree,
+    )
+
+    # per-point LR from MASt3R confidence (train.py:93-96)
+    confidence_lr = None
+    conf_path = (Path(model.source_path)
+                 / f"sparse_{model.n_views}" / "0" / "confidence_dsp.npy")
+    if opt.pp_optimizer and conf_path.exists():
+        conf = np.load(conf_path).reshape(-1)
+        if len(conf) == params.num_points:
+            confidence_lr = np.asarray(confidence_to_lr(conf))
+
+    # pose_org snapshot per save iteration (train.py:104-107)
+    for it in save_iterations:
+        pdir = model_path / "pose" / f"ours_{it}"
+        pdir.mkdir(parents=True, exist_ok=True)
+        np.save(pdir / "pose_org.npy", poses_7_to_w2c(params.cam_poses))
+
+    t0 = time.time()
+    params, opt_state, history = train_joint(
+        params, info.cameras, opt_cfg=opt, trainer_cfg=trainer,
+        spatial_lr_scale=info.nerf_radius,
+        confidence_lr=confidence_lr,
+        progress_cb=progress_cb,
+    )
+    elapsed = time.time() - t0
+    scene_io.save_time(model_path, "[2] train_joint", elapsed)
+
+    for it in save_iterations:
+        ply.save_gaussian_ply(
+            model_path / "point_cloud" / f"iteration_{it}"
+            / "point_cloud.ply", params)
+        np.save(model_path / "pose" / f"ours_{it}" / "pose_optimized.npy",
+                poses_7_to_w2c(params.cam_poses))
+    for it in checkpoint_iterations:
+        save_checkpoint(model_path / "ckpt" / f"chkpnt{it}.npz",
+                        params, opt_state, it)
+
+    # cfg_args for render/metrics (train.py:244-246)
+    ns = Namespace(**{**dataclasses.asdict(model),
+                      "n_views": model.n_views})
+    from instantsplat_tpu.pipelines.config import save_cfg_args
+
+    save_cfg_args(model_path, ns)
+    return params, history
+
+
+def load_trained(model_path, iteration, sh_degree=3, cam_poses=None):
+    """Load a trained snapshot: (GaussianModel, iteration). Mirrors
+    Scene(load_iteration=-1) + load_ply (scene/__init__.py:81-85)."""
+    model_path = Path(model_path)
+    if iteration == -1:
+        its = [int(p.name.split("_")[1])
+               for p in (model_path / "point_cloud").glob("iteration_*")]
+        iteration = max(its)
+    params = ply.load_gaussian_ply(
+        model_path / "point_cloud" / f"iteration_{iteration}"
+        / "point_cloud.ply", max_sh_degree=sh_degree, cam_poses=cam_poses)
+    return params, iteration

@@ -1,0 +1,167 @@
+"""Four-stage end-to-end pipeline test on a synthetic textured-plane scene.
+
+Drives init_geo (with an oracle pointmap backend standing in for MASt3R)
+-> train -> render (incl. test-time pose optimization) -> metrics through
+the same artifact tree the reference's 5-stage shell pipeline uses, all on
+the CPU test backend.
+"""
+
+import numpy as np
+import pytest
+
+from instantsplat_tpu.data import colmap, images as image_io, scene as scene_io
+from instantsplat_tpu.init.aligner import PairPrediction
+
+H, W = 48, 64
+FOCAL = 50.0
+N_IMAGES = 14
+N_VIEWS = 3
+
+
+def _rot_y(a):
+    return np.array([
+        [np.cos(a), 0, np.sin(a)],
+        [0, 1, 0],
+        [-np.sin(a), 0, np.cos(a)],
+    ])
+
+
+def _texture(x, y):
+    """Smooth colorful function of world-plane coordinates."""
+    r = 0.5 + 0.45 * np.sin(2.2 * x) * np.cos(1.7 * y)
+    g = 0.5 + 0.45 * np.sin(1.3 * x + 1.0) * np.sin(2.9 * y)
+    b = 0.5 + 0.45 * np.cos(2.0 * x - 0.5) * np.cos(1.1 * y + 0.3)
+    return np.stack([r, g, b], -1)
+
+
+def _scene_geometry():
+    """c2w poses + per-view (world points, camera points, image)."""
+    c2ws, pts_world, pts_cam, images = [], [], [], []
+    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+    dirs = np.stack([(gx - W / 2) / FOCAL, (gy - H / 2) / FOCAL,
+                     np.ones_like(gx)], -1)
+    for v in range(N_IMAGES):
+        ang = 0.05 * (v - (N_IMAGES - 1) / 2)
+        R = _rot_y(ang)
+        center = np.array([1.5 * np.sin(ang), 0.02 * v,
+                           -1.5 * (1 - np.cos(ang))])
+        m = np.eye(4)
+        m[:3, :3] = R
+        m[:3, 3] = center
+        c2ws.append(m)
+        d_world = dirs @ R.T
+        lam = (3.0 - center[2]) / d_world[..., 2]
+        pw = center + lam[..., None] * d_world
+        pts_world.append(pw)
+        pts_cam.append((pw - center) @ R)
+        images.append(_texture(pw[..., 0], pw[..., 1]))
+    return np.stack(c2ws), np.stack(pts_world), np.stack(pts_cam), \
+        np.stack(images)
+
+
+def _oracle_pointmap_fn(c2ws, pts_world, pts_cam, train_idx):
+    """Exact pointmap backend: geometry restricted to the train subset."""
+    rng = np.random.default_rng(0)
+
+    def fn(imgs, pairs):
+        pred_i = np.stack(
+            [pts_cam[train_idx[i]] for i, j in pairs]).astype(np.float32)
+        pred_j = np.stack([
+            (pts_world[train_idx[j]] - c2ws[train_idx[i], :3, 3])
+            @ c2ws[train_idx[i], :3, :3]
+            for i, j in pairs
+        ]).astype(np.float32)
+        conf = 1.0 + np.exp(
+            rng.random((len(pairs), H, W)).astype(np.float32))
+        return PairPrediction(edges=list(pairs), pred_i=pred_i,
+                              pred_j=pred_j, conf_i=conf,
+                              conf_j=conf * 1.05)
+
+    return fn
+
+
+@pytest.mark.slow
+def test_full_pipeline(tmp_path):
+    scene_dir = tmp_path / "scene"
+    out_dir = tmp_path / "out"
+    (scene_dir / "images").mkdir(parents=True)
+
+    c2ws, pts_world, pts_cam, images = _scene_geometry()
+    for v in range(N_IMAGES):
+        image_io.save_image(scene_dir / "images" / f"frame_{v:04d}.png",
+                            images[v])
+    # dataset GT colmap model (for pose metrics)
+    (scene_dir / "sparse" / "0").mkdir(parents=True)
+    scene_io.save_extrinsics(scene_dir / "sparse" / "0",
+                             np.linalg.inv(c2ws),
+                             [f"frame_{v:04d}.png" for v in range(N_IMAGES)],
+                             ".png")
+
+    files = [f"frame_{v:04d}.png" for v in range(N_IMAGES)]
+    _, _, train_idx, test_idx = scene_io.split_train_test(files, N_VIEWS)
+
+    # ---- stage 1: init_geo with the oracle pointmap backend ----
+    from instantsplat_tpu.pipelines.init_geo_pipeline import run_init_geo
+
+    run_init_geo(
+        scene_dir, out_dir,
+        _oracle_pointmap_fn(c2ws, pts_world, pts_cam, train_idx),
+        n_views=N_VIEWS, image_size=max(H, W), niter=60,
+        focal_avg=True, depth_thre=0.0,
+    )
+    sparse0 = scene_dir / f"sparse_{N_VIEWS}" / "0"
+    for f in ["images.txt", "images.bin", "cameras.txt", "points3D.ply",
+              "confidence_dsp.npy"]:
+        assert (sparse0 / f).exists(), f
+    assert (scene_dir / f"sparse_{N_VIEWS}" / "1" / "images.txt").exists()
+
+    # recovered focal should be near GT (exact pointmaps, focal_avg)
+    cams = colmap.read_cameras_text(sparse0 / "cameras.txt")
+    assert abs(cams[1].params[0] - FOCAL) / FOCAL < 0.05
+
+    # ---- stage 2: training ----
+    from instantsplat_tpu.pipelines.config import ModelParams
+    from instantsplat_tpu.pipelines.train_pipeline import run_training
+    from instantsplat_tpu.pipelines.trainer import TrainerConfig
+    from instantsplat_tpu.opt.gaussian_opt import OptimizationConfig
+
+    model = ModelParams(
+        source_path=str(scene_dir), model_path=str(out_dir),
+        n_views=N_VIEWS)
+    opt = OptimizationConfig(pp_optimizer=True, optim_pose=True)
+    trainer = TrainerConfig(iterations=40, backend="oracle", log_every=20)
+    params, history = run_training(model, opt, trainer)
+    assert (out_dir / "point_cloud" / "iteration_40"
+            / "point_cloud.ply").exists()
+    assert (out_dir / "pose" / "ours_40" / "pose_optimized.npy").exists()
+    assert (out_dir / "cfg_args").exists()
+    losses = [m["loss"] for _, m in history]
+    assert losses[-1] < losses[0]  # photometric loss decreases
+
+    # ---- stage 3: render (train views + test-time pose opt) ----
+    from instantsplat_tpu.pipelines.render_pipeline import run_render
+
+    it = run_render(model, iteration=-1, optim_test_pose_iter=10,
+                    test_fps=False, backend="oracle")
+    assert it == 40
+    train_renders = list(
+        (out_dir / "train" / "ours_40" / "renders").glob("*.png"))
+    assert len(train_renders) == N_VIEWS
+    test_renders = list(
+        (out_dir / "test" / "ours_40" / "renders").glob("*.png"))
+    assert len(test_renders) == 12
+
+    # ---- stage 4: metrics ----
+    from instantsplat_tpu.pipelines.metrics_pipeline import run_metrics
+
+    results = run_metrics([str(out_dir)], source_path=str(scene_dir),
+                          n_views=N_VIEWS)
+    r = results[str(out_dir)]["ours_40"]
+    assert r["PSNR"] is not None and np.isfinite(r["PSNR"])
+    assert r["LPIPS"] is None  # no weights in this environment
+    assert "ATE" in r and np.isfinite(r["ATE"])
+    # exact-pointmap init + short training: poses should be decent
+    assert r["ATE"] < 0.5
+    assert (out_dir / "results.json").exists()
+    assert (out_dir / "per_view.json").exists()
+    assert (out_dir / "pose" / "ours_40" / "pose_eval.txt").exists()
