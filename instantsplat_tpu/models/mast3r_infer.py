@@ -1,0 +1,116 @@
+"""Batched pairwise MASt3R inference -> PairPrediction for the aligner.
+
+Replaces dust3r/inference.py:55-72 (per-pair batches through the full
+model) with a TPU-friendly two-phase schedule:
+
+1. encode every unique image ONCE ([V, S, D] encoder pass — the reference
+   instead encodes each image per pair, halved by the symmetrization trick,
+   dust3r/model.py:152-169; encode-once is strictly less work);
+2. run the dual decoder + heads over the E directed pairs in fixed-size
+   jitted batches, gathering cached encoder tokens per pair.
+
+Pairs are independent, so the batch dimension shards trivially across a
+device mesh (SURVEY.md §2.2 pair-parallel mapping): with N devices the
+pair batch is padded to a multiple of N and jit partitions it via
+jax.sharding when a mesh is passed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instantsplat_tpu.init.aligner import PairPrediction
+from instantsplat_tpu.models import mast3r
+
+
+def infer_pairs(
+    params,
+    cfg: mast3r.MASt3RConfig,
+    images,
+    pairs,
+    batch_size: int = 8,
+    mesh=None,
+) -> PairPrediction:
+    """images [V, H, W, 3] in [0,1]; pairs: [(i, j)] directed."""
+    images = jnp.asarray(images, jnp.float32)
+    v, h, w, _ = images.shape
+
+    encode = jax.jit(
+        lambda p, im: mast3r.encode_images(p, cfg, im))
+    feats, pos = encode(params, images)
+
+    h_s, w_s = int(h), int(w)  # static shapes baked into the jit closure
+    decode = jax.jit(
+        lambda p, f1, p1, f2, p2: mast3r.forward_from_encoded(
+            p, cfg, f1, p1, f2, p2, h_s, w_s))
+
+    e = len(pairs)
+    ei = np.array([i for i, _ in pairs])
+    ej = np.array([j for _, j in pairs])
+    n_pad = ((e + batch_size - 1) // batch_size) * batch_size
+    ei_p = np.pad(ei, (0, n_pad - e), constant_values=0)
+    ej_p = np.pad(ej, (0, n_pad - e), constant_values=0)
+
+    pred_i = np.empty((e, h, w, 3), np.float32)
+    pred_j = np.empty((e, h, w, 3), np.float32)
+    conf_i = np.empty((e, h, w), np.float32)
+    conf_j = np.empty((e, h, w), np.float32)
+    desc_i = np.empty((e, h, w, cfg.local_feat_dim), np.float32)
+    desc_j = np.empty((e, h, w, cfg.local_feat_dim), np.float32)
+
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = list(mesh.axis_names)[0]
+        sharding = NamedSharding(mesh, P(axis))
+
+    for s in range(0, n_pad, batch_size):
+        bi = ei_p[s:s + batch_size]
+        bj = ej_p[s:s + batch_size]
+        f1, p1 = feats[bi], pos[bi]
+        f2, p2 = feats[bj], pos[bj]
+        if sharding is not None:
+            f1, f2 = jax.device_put((f1, f2), sharding)
+        r1, r2 = decode(params, f1, p1, f2, p2)
+        n = min(batch_size, e - s)
+        if n <= 0:
+            break
+        pred_i[s:s + n] = np.asarray(r1["pts3d"][:n])
+        pred_j[s:s + n] = np.asarray(r2["pts3d"][:n])
+        conf_i[s:s + n] = np.asarray(r1["conf"][:n])
+        conf_j[s:s + n] = np.asarray(r2["conf"][:n])
+        desc_i[s:s + n] = np.asarray(r1["desc"][:n])
+        desc_j[s:s + n] = np.asarray(r2["desc"][:n])
+
+    out = PairPrediction(
+        edges=[tuple(p) for p in pairs],
+        pred_i=pred_i, pred_j=pred_j, conf_i=conf_i, conf_j=conf_j)
+    out.desc_i = desc_i  # descriptor maps (mast3r extra outputs)
+    out.desc_j = desc_j
+    return out
+
+
+def make_pointmap_fn(ckpt_path: str, batch_size: int = 8,
+                     cfg: Optional[mast3r.MASt3RConfig] = None, mesh=None):
+    """-> pointmap_fn(images, pairs) for pipelines.init_geo_pipeline."""
+    cfg = cfg or mast3r.MASt3RConfig()
+    if not ckpt_path:
+        raise RuntimeError(
+            "init_geo needs a MASt3R checkpoint (--ckpt_path). This "
+            "environment ships no pretrained weights; point --ckpt_path at "
+            "MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric.pth (converted "
+            "on load), or initialize the scene with an externally produced "
+            "sparse_{n} directory."
+        )
+    params = mast3r.load_checkpoint(ckpt_path, cfg)
+
+    def fn(images, pairs):
+        return infer_pairs(params, cfg, images, pairs,
+                           batch_size=batch_size, mesh=mesh)
+
+    return fn
