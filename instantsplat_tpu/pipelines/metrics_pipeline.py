@@ -83,6 +83,12 @@ def evaluate_poses_against_colmap(model_path, method, source_path, n_views):
     with open(pose_path / "pose_eval.txt", "w") as f:
         f.write("RPE_t: {:.04f}, RPE_r: {:.04f}, ATE: {:.04f}".format(
             res["RPE_t"], res["RPE_r"], res["ATE"]))
+    try:  # trajectory comparison plot (reference plot_pose, metrics.py:112)
+        from instantsplat_tpu.eval.pose_viz import plot_pose
+
+        plot_pose(gt_c2w, est_c2w, pose_path / "pose_vis.png")
+    except Exception as e:  # matplotlib quirks must not fail the metrics
+        print(f"[metrics] pose plot skipped: {e}")
     return res
 
 

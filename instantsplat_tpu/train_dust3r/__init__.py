@@ -1,0 +1,5 @@
+from instantsplat_tpu.train_dust3r.losses import regr3d_conf_loss  # noqa: F401
+from instantsplat_tpu.train_dust3r.trainer import (  # noqa: F401
+    make_dp_train_step,
+    train_loop,
+)

@@ -1,0 +1,101 @@
+"""DUSt3R pre-training losses in JAX: Regr3D + ConfLoss.
+
+Clean-room equivalents of dust3r/losses.py (the path used by the
+reference's pre-training stack, SURVEY.md §2.4 / §3.5):
+
+- `Regr3D` (losses.py:142-195): express both views' GT pointmaps in view
+  1's camera frame, jointly normalize prediction and GT pointclouds by the
+  masked mean distance-to-origin ('avg_dis',
+  dust3r/utils/geometry.py:249-290), and penalize the per-pixel L2-1
+  distance (L21Loss, losses.py:54-60: norm over the channel dim);
+- `ConfLoss` (losses.py:197-238): weight the pixel loss by the predicted
+  confidence minus alpha * log(conf) — the self-calibrated aleatoric
+  weighting that trains the confidence head.
+
+All masking is static-shape (where-masks + masked means) so the loss jits
+cleanly; boolean gather in the reference becomes multiplication by the
+valid mask here (identical value: both sides reduce with masked means).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from instantsplat_tpu.init.geometry import geotrf
+
+
+def _masked_mean(x, mask, axis=None, eps=1e-8):
+    num = jnp.sum(jnp.where(mask, x, 0.0), axis=axis)
+    den = jnp.sum(mask.astype(x.dtype), axis=axis)
+    return num / jnp.maximum(den, eps)
+
+
+def normalize_pointcloud(pts1, pts2, valid1, valid2):
+    """Joint 'avg_dis' normalization (geometry.py:249-290): divide both
+    pointmaps by the masked mean distance-to-origin over BOTH views.
+
+    pts: [B,H,W,3]; valid: [B,H,W]. Returns (pts1, pts2, factor [B,1,1,1]).
+    """
+    d1 = jnp.linalg.norm(pts1, axis=-1)
+    d2 = jnp.linalg.norm(pts2, axis=-1)
+    all_d = jnp.concatenate([d1.reshape(d1.shape[0], -1),
+                             d2.reshape(d2.shape[0], -1)], axis=1)
+    all_m = jnp.concatenate([valid1.reshape(d1.shape[0], -1),
+                             valid2.reshape(d2.shape[0], -1)], axis=1)
+    factor = _masked_mean(all_d, all_m, axis=1)
+    factor = jnp.maximum(factor, 1e-8)[:, None, None, None]
+    return pts1 / factor, pts2 / factor, factor
+
+
+def se3_inv(m):
+    R = jnp.swapaxes(m[..., :3, :3], -1, -2)
+    t = -jnp.einsum("...ij,...j->...i", R, m[..., :3, 3])
+    out = jnp.zeros_like(m)
+    out = out.at[..., :3, :3].set(R)
+    out = out.at[..., :3, 3].set(t)
+    return out.at[..., 3, 3].set(1.0)
+
+
+def regr3d_conf_loss(gt1, gt2, pred1, pred2, alpha=0.2, norm_gt=True):
+    """ConfLoss(Regr3D(L21, norm_mode='avg_dis'), alpha) — the training
+    objective of dust3r pre-training (dust3r/training.py config default).
+
+    gt_k: dict(pts3d [B,H,W,3] world frame, camera_pose [B,4,4] c2w,
+    valid_mask [B,H,W]); pred_k: dict(pts3d / pts3d_in_other_view, conf).
+
+    Returns (scalar loss, details dict).
+    """
+    in_cam1 = se3_inv(gt1["camera_pose"])
+    b = gt1["pts3d"].shape[0]
+    gt_pts1 = geotrf(in_cam1, gt1["pts3d"].reshape(b, -1, 3)).reshape(
+        gt1["pts3d"].shape)
+    gt_pts2 = geotrf(in_cam1, gt2["pts3d"].reshape(b, -1, 3)).reshape(
+        gt2["pts3d"].shape)
+    valid1 = gt1["valid_mask"]
+    valid2 = gt2["valid_mask"]
+
+    pr_pts1 = pred1["pts3d"]
+    pr_pts2 = pred2.get("pts3d_in_other_view", pred2.get("pts3d"))
+
+    pr_pts1, pr_pts2, _ = normalize_pointcloud(
+        pr_pts1, pr_pts2, valid1, valid2)
+    if norm_gt:
+        gt_pts1, gt_pts2, _ = normalize_pointcloud(
+            gt_pts1, gt_pts2, valid1, valid2)
+
+    # L21: norm over channels, per pixel
+    l1 = jnp.linalg.norm(pr_pts1 - gt_pts1, axis=-1)
+    l2 = jnp.linalg.norm(pr_pts2 - gt_pts2, axis=-1)
+
+    conf1 = pred1["conf"]
+    conf2 = pred2["conf"]
+    cl1 = l1 * conf1 - alpha * jnp.log(conf1)
+    cl2 = l2 * conf2 - alpha * jnp.log(conf2)
+    loss = _masked_mean(cl1, valid1) + _masked_mean(cl2, valid2)
+    details = dict(
+        regr3d_1=_masked_mean(l1, valid1),
+        regr3d_2=_masked_mean(l2, valid2),
+        conf_loss_1=_masked_mean(cl1, valid1),
+        conf_loss_2=_masked_mean(cl2, valid2),
+    )
+    return loss, details
