@@ -241,3 +241,80 @@ def read_colmap_gt_pose(gt_pose_path, sparse_dir="sparse/0"):
     extr = colmap.read_images_text(p)
     items = sorted(extr.values(), key=lambda im: im.name)
     return np.stack([np.linalg.inv(im.w2c) for im in items])
+
+
+# ---------------------------------------------------------------------------
+# Blender / NeRF-synthetic transforms reader
+# (scene/dataset_readers.py:372-448)
+# ---------------------------------------------------------------------------
+
+
+def read_cameras_from_transforms(path, transformsfile, white_background,
+                                 extension=".png"):
+    """-> (cameras, poses_w2c, names): NeRF transforms_*.json frames with
+    OpenGL->COLMAP axis flip and alpha compositing over the background."""
+    import json
+
+    path = Path(path)
+    with open(path / transformsfile) as f:
+        contents = json.load(f)
+    fovx = contents["camera_angle_x"]
+    cams, poses, names = [], [], []
+    for idx, frame in enumerate(contents["frames"]):
+        img_path = path / (frame["file_path"] + extension)
+        c2w = np.array(frame["transform_matrix"], np.float64)
+        c2w[:3, 1:3] *= -1  # OpenGL/Blender -> COLMAP axes
+        w2c = np.linalg.inv(c2w)
+
+        from PIL import Image as PILImage
+
+        im = np.asarray(
+            PILImage.open(img_path).convert("RGBA"), np.float32) / 255.0
+        bg = np.ones(3) if white_background else np.zeros(3)
+        rgb = im[:, :, :3] * im[:, :, 3:4] + bg * (1 - im[:, :, 3:4])
+        h, w = rgb.shape[:2]
+        fx = w / (2 * np.tan(fovx / 2))
+        cams.append(Camera.create(
+            R=w2c[:3, :3], t=w2c[:3, 3], fx=fx, fy=fx,
+            height=h, width=w, image=rgb.astype(np.float32), uid=idx))
+        poses.append(w2c)
+        names.append(Path(frame["file_path"]).stem + extension)
+    return cams, np.stack(poses), names
+
+
+def read_nerf_synthetic(path, white_background=False, eval_split=True,
+                        extension=".png", num_random_pts=100_000, seed=0):
+    """readNerfSyntheticInfo equivalent: transforms_{train,test}.json +
+    random init point cloud stored to points3d.ply on first read."""
+    path = Path(path)
+    train_cams, train_poses, names = read_cameras_from_transforms(
+        path, "transforms_train.json", white_background, extension)
+    try:
+        test_cams, test_poses, _ = read_cameras_from_transforms(
+            path, "transforms_test.json", white_background, extension)
+    except OSError:
+        test_cams, test_poses = [], np.zeros((0, 4, 4))
+    if not eval_split:
+        train_cams = train_cams + test_cams
+        train_poses = np.concatenate([train_poses, test_poses]) \
+            if len(test_cams) else train_poses
+        test_cams, test_poses = [], np.zeros((0, 4, 4))
+
+    ply_path = path / "points3d.ply"
+    if not ply_path.exists():
+        rng = np.random.default_rng(seed)
+        xyz = rng.random((num_random_pts, 3)) * 2.6 - 1.3
+        # random SH DC -> RGB like the reference (SH2RGB(rand/255))
+        c0 = 0.28209479177387814
+        cols = (rng.random((num_random_pts, 3)) / 255.0) * c0 + 0.5
+        ply.store_point_cloud(ply_path, xyz, cols * 255.0)
+    pts, cols = ply.fetch_point_cloud(ply_path)
+    return SceneInfo(
+        cameras=train_cams,
+        poses_w2c=train_poses,
+        points=pts,
+        colors=cols,
+        nerf_radius=_nerfpp_radius(list(train_poses)),
+        image_names=names,
+        ply_path=str(ply_path),
+    ), test_cams, test_poses

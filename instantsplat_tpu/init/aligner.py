@@ -445,3 +445,86 @@ class GlobalAligner:
                 self.H, self.W, 3)
             for i in range(self.n_imgs)
         ])
+
+
+def clean_pointcloud(im_confs, K, cams_w2c, depthmaps, all_pts3d,
+                     tol=0.001, bad_conf=0.0):
+    """Cross-view confidence suppression (base_opt.py:369-405): project each
+    view's points into every other view; points landing IN FRONT of a more
+    confident view's surface get their confidence clipped to `bad_conf`.
+
+    im_confs [V,H,W]; K [V,3,3]; cams_w2c [V,4,4]; depthmaps [V,H,W];
+    all_pts3d [V,H,W,3] world frame. Returns updated [V,H,W] confidences.
+    """
+    im_confs = np.array(im_confs, np.float64, copy=True)
+    v, h, w = im_confs.shape
+    for i in range(v):
+        pts = np.asarray(all_pts3d[i]).reshape(-1, 3)
+        for j in range(v):
+            if i == j:
+                continue
+            pc = pts @ np.asarray(cams_w2c[j])[:3, :3].T \
+                + np.asarray(cams_w2c[j])[:3, 3]
+            z = pc[:, 2]
+            uu = pc[:, 0] / np.where(z == 0, 1, z) * K[j][0, 0] + K[j][0, 2]
+            vv = pc[:, 1] / np.where(z == 0, 1, z) * K[j][1, 1] + K[j][1, 2]
+            u = np.round(uu).astype(int)
+            vy = np.round(vv).astype(int)
+            ok = (z > 0) & (u >= 0) & (u < w) & (vy >= 0) & (vy < h)
+            ci = im_confs[i].reshape(-1)
+            dj = np.asarray(depthmaps[j]).reshape(h, w)
+            cj = im_confs[j]
+            bad = np.zeros(len(pts), bool)
+            bad[ok] = (z[ok] < (1 - tol) * dj[vy[ok], u[ok]]) & (
+                ci[ok] < cj[vy[ok], u[ok]])
+            ci[bad] = np.minimum(ci[bad], bad_conf)
+            im_confs[i] = ci.reshape(h, w)
+    return im_confs
+
+
+def pair_scene_fast(preds: PairPrediction):
+    """PairViewer-equivalent 2-view fast path (dust3r/cloud_opt/
+    pair_viewer.py:18-90): no optimization — focals by Weiszfeld, the
+    relative pose by dense conf-weighted sim3 registration of view j's
+    pointmap-in-i's-frame onto j's own frame (replacing cv2 RANSAC-PnP as
+    elsewhere in this module), anchored at whichever directed edge has the
+    higher confidence product.
+
+    Returns (c2w [2,4,4], focals [2], depthmaps [2,H,W], pts3d [2,H,W,3]).
+    """
+    assert preds.n_imgs == 2
+    e = {edge: k for k, edge in enumerate(preds.edges)}
+    assert (0, 1) in e and (1, 0) in e, "needs a symmetrized pair"
+    confs = []
+    focals = []
+    rel_poses = []
+    for i in range(2):
+        k = e[(i, 1 - i)]
+        confs.append(float(preds.conf_i[k].mean() * preds.conf_j[k].mean()))
+        focals.append(G.estimate_focal_weiszfeld(preds.pred_i[k]))
+        # pose of camera (1-i) in i's frame: register (1-i)'s own-frame
+        # pointmap onto its pointmap expressed in i's frame
+        k_rev = e[(1 - i, i)]
+        s, R, T = G.rigid_points_registration(
+            preds.pred_i[k_rev], preds.pred_j[k],
+            conf=preds.conf_j[k])
+        rel_poses.append(G.sRT_to_4x4(1.0, R, T))
+
+    h, w = preds.imshape
+    if confs[0] > confs[1]:
+        k = e[(0, 1)]
+        c2w = np.stack([np.eye(4), rel_poses[0]])
+        pts0 = preds.pred_i[k]
+        pts1 = preds.pred_j[k]
+    else:
+        k = e[(1, 0)]
+        c2w = np.stack([rel_poses[1], np.eye(4)])
+        pts1 = preds.pred_i[k]
+        pts0 = preds.pred_j[k]
+    pts3d = np.stack([pts0, pts1]).astype(np.float64)
+    depth = np.stack([
+        G.geotrf(np.linalg.inv(c2w[i]),
+                 pts3d[i].reshape(-1, 3))[:, 2].reshape(h, w)
+        for i in range(2)
+    ])
+    return c2w, np.array(focals), depth, pts3d

@@ -59,8 +59,17 @@ BLOCK_ROWS = 4
 STRIP_ROWS = 256
 _LOG_ALPHA_EPS = float(jnp.log(ALPHA_EPS))
 _LOG_TERM = float(LOG_TERM)
-_DOT = dict(preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+# Precision of the MXU prefix-sum matmuls. DEFAULT (one bf16 pass) is far
+# too coarse for accumulated log-transmittance (contributor sets flip near
+# the termination threshold, measured ~0.9 image error); Mosaic supports
+# only DEFAULT and HIGHEST, so HIGHEST it is. The binned kernel avoids the
+# matmul entirely (lane-roll scan).
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _dot_kwargs():
+    return dict(preferred_element_type=jnp.float32,
+                precision=MATMUL_PRECISION)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -76,7 +85,8 @@ def _tri(g: int):
 
 def _cumsum_g(tri, x):
     """Inclusive prefix sum along the Gaussian (sublane) axis via the MXU."""
-    return jax.lax.dot_general(tri, x, (((1,), (0,)), ((), ())), **_DOT)
+    return jax.lax.dot_general(
+        tri, x, (((1,), (0,)), ((), ())), **_dot_kwargs())
 
 
 def _falloff(blk, px, py):

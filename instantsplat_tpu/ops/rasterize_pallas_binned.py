@@ -1,0 +1,550 @@
+"""Binned Pallas rasterizer: per-row-block gather lists (true tile binning).
+
+V2 of ops/rasterize_pallas.py. The dense kernel visits every (Gaussian
+chunk x row block) pair and relies on skip bitmaps; real scenes have small
+splats, so almost all pairs are empty. This version reproduces the CUDA
+rasterizer's tile binning (duplicate each Gaussian into the tiles it
+touches, composite each tile over its own depth-ordered list) with a
+TPU-native, fully static-shape construction:
+
+- on device (plain jnp, inside the custom_vjp forward): build the
+  [N, n_row_blocks] cover matrix from each Gaussian's alpha-cutoff
+  y-extent, get per-row-block counts + G-aligned segment starts by
+  cumsum, per-(Gaussian, block) ranks by a cumsum down the Gaussian axis
+  (which is depth order, so every segment is depth-sorted by
+  construction), and scatter global Gaussian indices into a fixed-capacity
+  slot array (capacity = CAP_FACTOR * N, overflow pairs land in a dump
+  slot and are reported via a flag);
+- the kernel grid walks SLOT CHUNKS instead of (chunk x row-block): each
+  grid step composites one G-sized chunk of one row block's list. Work is
+  sum-of-extents instead of N x n_row_blocks — the same asymptotic win as
+  CUDA tile binning. Per-pixel state (accumulators, transmittance, done
+  latch, last-contributor index) stays strip-resident in VMEM exactly as
+  in the dense kernel, and the same monotone-transmittance termination
+  applies per chunk.
+- backward walks slot chunks in reverse (per-row-block reverse order is
+  preserved because segments are contiguous) and emits per-SLOT gradients;
+  a single scatter-add folds them back to per-Gaussian gradients.
+
+Semantics are identical to the oracle (ops/rasterize.py) — validated by
+the same test harness.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from instantsplat_tpu.ops.rasterize import ALPHA_MAX, CompositeOut
+from instantsplat_tpu.ops.rasterize_pallas import (
+    _LOG_ALPHA_EPS,
+    _LOG_TERM,
+    _falloff,
+    _pack_gaussians,
+    _round_up,
+)
+
+# Binned-kernel tiling: bigger Gaussian chunks amortize the per-grid-step
+# latency (each step is one (chunk x row-block) composite), and narrower
+# row blocks tighten the y-culling that binning exploits.
+G_CHUNK = 256
+BLOCK_ROWS = 4
+STRIP_ROWS = 512  # single strip for typical 512-long-side scenes
+CAP_FACTOR = 3  # slot capacity = CAP_FACTOR * N (see module docstring)
+D_LEVELS = 16  # max row-blocks a Gaussian may span (extent clamp, flagged)
+
+
+def _pixel_coords(rb, n_pix, width):
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, n_pix), 1)
+    px = (idx % width).astype(jnp.float32)
+    py = (rb * BLOCK_ROWS + idx // width).astype(jnp.float32)
+    return px, py
+
+
+def _scan_sub(x):
+    """Inclusive prefix sum along the Gaussian (sublane) axis: Hillis-Steele
+    ladder of sublane rolls — exact f32, O(log G) per element. In the binned
+    regime (few, dense chunks) this beats the O(G)-per-element MXU
+    tri-matmul the dense kernel uses."""
+    g = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    d = 1
+    while d < g:
+        x = x + jnp.where(row >= d, pltpu.roll(x, d, 0), 0.0)
+        d *= 2
+    return x
+
+
+def _y_extent_blocks(mean2d, conic, log_opacity, valid, y0, n_rows):
+    """Per-Gaussian inclusive row-block range [lo, hi] at the alpha-cutoff
+    radius (hi < lo => touches nothing). Same radius math as the dense
+    kernel's bitmap."""
+    ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+    det = ca * cc - cb * cb
+    ok = valid & (det > 0.0) & (ca > 0.0)
+    tr_cov = jnp.where(ok, (ca + cc) / jnp.maximum(det, 1e-30), 0.0)
+    det_cov = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-30), 0.0)
+    mid = 0.5 * tr_cov
+    lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det_cov, 0.0))
+    m = jnp.maximum(log_opacity - _LOG_ALPHA_EPS, 0.0)
+    r = jnp.sqrt(2.0 * m * lam_max) * 1.001 + 1.0
+    r = jnp.where(ok & (m > 0.0), r, -1.0)
+    y = mean2d[:, 1] - float(y0)
+    n_rb = n_rows // BLOCK_ROWS
+    lo = jnp.clip(jnp.floor((y - r) / BLOCK_ROWS).astype(jnp.int32), 0, n_rb)
+    hi = jnp.clip(jnp.floor((y + r) / BLOCK_ROWS).astype(jnp.int32),
+                  -1, n_rb - 1)
+    return jnp.where(r < 0, 1, lo), jnp.where(r < 0, 0, hi)
+
+
+def _build_bins(mean2d, conic, log_opacity, valid, y0, n_rows, cap,
+                d_levels: int = D_LEVELS):
+    """-> (slot_gauss [cap] int32 global index or -1,
+           rb_of_chunk [cap//G] int32 (-1 = dead chunk),
+           overflow bool).
+
+    Scatter-free construction: emit (Gaussian, row-block) candidates by
+    extent level (d < d_levels), sort the [N * d_levels] keys
+    (rb * N + g, so each row block's run is depth-ordered), derive
+    per-block segment starts/counts by searchsorted, and map every slot to
+    its source by pure gathers. Gaussians spanning more than `d_levels`
+    row blocks are clamped (flagged in `overflow`, like capacity
+    exhaustion) — raise D_LEVELS for scenes with huge splats.
+    """
+    n = mean2d.shape[0]
+    n_rb = n_rows // BLOCK_ROWS
+    lo, hi = _y_extent_blocks(mean2d, conic, log_opacity, valid, y0, n_rows)
+    hi_c = jnp.minimum(hi, lo + d_levels - 1)
+    ext_overflow = jnp.any(hi > hi_c)
+
+    d = jnp.arange(d_levels, dtype=jnp.int32)
+    rb_cand = lo[:, None].astype(jnp.int32) + d[None, :]  # [N, D]
+    ok = rb_cand <= hi_c[:, None]
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.iinfo(jnp.int32).max
+    keys = jnp.where(ok, rb_cand * n + gidx[:, None], big)
+    sk = jnp.sort(keys.reshape(-1))  # depth-ordered runs per row block
+    g_sorted = sk - (sk // n) * n  # == sk % n for valid entries
+
+    bounds = jnp.arange(n_rb + 1, dtype=jnp.int32) * n
+    edges = jnp.searchsorted(sk, bounds)  # [n_rb + 1]
+    start = edges[:-1]
+    counts = edges[1:] - start
+    padded = ((counts + G_CHUNK - 1) // G_CHUNK) * G_CHUNK
+    pstart = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    total = jnp.sum(padded)
+
+    # slot -> (row block, rank) -> sorted-array source: gathers only
+    s = jnp.arange(cap, dtype=jnp.int32)
+    rb_slot = jnp.clip(
+        jnp.searchsorted(pstart, s, side="right") - 1, 0, n_rb - 1)
+    r = s - pstart[rb_slot]
+    live = (r < counts[rb_slot]) & (s < total)
+    src = jnp.clip(start[rb_slot] + r, 0, n * d_levels - 1)
+    slot_gauss = jnp.where(live, g_sorted[src], -1).astype(jnp.int32)
+
+    n_chunks = cap // G_CHUNK
+    c0 = jnp.arange(n_chunks, dtype=jnp.int32) * G_CHUNK
+    seg = jnp.clip(
+        jnp.searchsorted(pstart, c0, side="right") - 1, 0, n_rb - 1)
+    rb_of_chunk = jnp.where(c0 < total, seg, -1).astype(jnp.int32)
+    overflow = (total > cap) | ext_overflow
+    return slot_gauss, rb_of_chunk, overflow
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    rbmap_ref,  # SMEM [n_chunks] int32 (scalar prefetch): rb or -1
+    gauss_ref,  # VMEM [G, 16] packed binned chunk (col 10 = global index)
+    acc_ref,  # out [4, n_rb, P]
+    tfin_ref,  # out [n_rb, P]
+    lc_ref,  # out [n_rb, P] int32
+    logt_ref,  # scratch [n_rb, P]
+    done_ref,  # scratch [n_rb, P]
+    rowdone_ref,  # scratch SMEM [n_rb]
+):
+    c = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+    n_rb, n_pix = logt_ref.shape
+    g = gauss_ref.shape[0]
+    width = n_pix // BLOCK_ROWS
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        lc_ref[:] = jnp.full(lc_ref.shape, -1, jnp.int32)
+        logt_ref[:] = jnp.zeros_like(logt_ref)
+        done_ref[:] = jnp.zeros_like(done_ref)
+        for i in range(n_rb):
+            rowdone_ref[i] = 0
+
+    rb = rbmap_ref[c]
+
+    @pl.when((rb >= 0) & (rowdone_ref[jnp.maximum(rb, 0)] == 0))
+    def _():
+        blk = gauss_ref[:]
+        px, py = _pixel_coords(rb, n_pix, width)
+        _, _, _, alpha = _falloff(blk, px, py)
+        hit = alpha > 0.0
+        l = jnp.where(hit, jnp.log1p(-alpha), 0.0)
+        cum = _scan_sub(l)
+        logt_row = logt_ref[pl.ds(rb, 1), :]
+        logt_post = logt_row + cum
+        done_row = done_ref[pl.ds(rb, 1), :]
+        contribute = hit & (done_row < 0.5) & (logt_post >= _LOG_TERM)
+        w = jnp.where(contribute, alpha * jnp.exp(logt_post - l), 0.0)
+        for ch in range(4):
+            ch_contrib = jnp.sum(
+                w * blk[:, 6 + ch : 7 + ch], 0, keepdims=True)
+            acc_ref[ch, pl.ds(rb, 1), :] = (
+                acc_ref[ch, pl.ds(rb, 1), :] + ch_contrib
+            )
+        logt_ref[pl.ds(rb, 1), :] = jnp.min(
+            jnp.where(contribute, logt_post, logt_row), 0, keepdims=True)
+        gidx = blk[:, 10:11].astype(jnp.int32)  # global sorted index
+        lc_row = lc_ref[pl.ds(rb, 1), :]
+        lc_ref[pl.ds(rb, 1), :] = jnp.maximum(
+            lc_row, jnp.max(jnp.where(contribute, gidx, -1), 0,
+                            keepdims=True))
+        fired = (hit & (logt_post < _LOG_TERM)).astype(jnp.float32)
+        new_done = jnp.maximum(done_row, jnp.max(fired, 0, keepdims=True))
+        done_ref[pl.ds(rb, 1), :] = new_done
+        rowdone_ref[rb] = jnp.min(new_done).astype(jnp.int32)
+
+    @pl.when(c == n_chunks - 1)
+    def _final():
+        tfin_ref[:] = jnp.exp(logt_ref[:])
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    rbmap_ref,  # SMEM [n_chunks] int32
+    gauss_ref,  # VMEM [G, 16] — chunk n_chunks-1-c
+    g4_ref,  # VMEM [4, n_rb, P]
+    gtu_ref,  # VMEM [n_rb, P]
+    tfin_ref,  # VMEM [n_rb, P]
+    lc_ref,  # VMEM [n_rb, P] int32
+    dgauss_ref,  # out [G, 16] — per-slot grads, chunk n_chunks-1-c
+    ss_ref,  # scratch [n_rb, P]
+    logtr_ref,  # scratch [n_rb, P]
+):
+    c = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+    n_rb, n_pix = ss_ref.shape
+    g = gauss_ref.shape[0]
+    width = n_pix // BLOCK_ROWS
+    k = n_chunks - 1 - c
+
+    @pl.when(c == 0)
+    def _init():
+        ss_ref[:] = jnp.zeros_like(ss_ref)
+        logtr_ref[:] = jnp.log(jnp.maximum(tfin_ref[:], 1e-30))
+
+    dgauss_ref[:] = jnp.zeros_like(dgauss_ref)
+    rb = rbmap_ref[k]
+
+    def live_body():
+        blk = gauss_ref[:]
+        lc_row = lc_ref[pl.ds(rb, 1), :]
+        gidx = blk[:, 10:11].astype(jnp.int32)
+
+        px, py = _pixel_coords(rb, n_pix, width)
+        dx, dy, a_un, alpha = _falloff(blk, px, py)
+        contribute = (alpha > 0.0) & (gidx <= lc_row)
+        om = jnp.where(contribute, 1.0 - alpha, 1.0)
+        l = jnp.where(contribute, jnp.log1p(-alpha), 0.0)
+        cum = _scan_sub(l)
+        total_l = cum[g - 1 : g, :]
+        csuf = total_l - cum + l
+        logt_end = logtr_ref[pl.ds(rb, 1), :]
+        t_at = jnp.exp(logt_end - csuf)
+        w = jnp.where(contribute, alpha * t_at, 0.0)
+
+        b1 = jnp.zeros_like(alpha)
+        for ch in range(4):
+            b1 = b1 + blk[:, 6 + ch : 7 + ch] * g4_ref[ch, pl.ds(rb, 1), :]
+        e = w * b1
+        ecum = _scan_sub(e)
+        etot = ecum[g - 1 : g, :]
+        esuf = etot - ecum
+
+        ss_row = ss_ref[pl.ds(rb, 1), :]
+        gtu_row = gtu_ref[pl.ds(rb, 1), :]
+        dalpha = jnp.where(
+            contribute,
+            b1 * t_at - (ss_row + gtu_row + esuf) / om,
+            0.0,
+        )
+        dpow = dalpha * jnp.where(a_un < ALPHA_MAX, a_un, 0.0)
+        ca, cb, cc = blk[:, 2:3], blk[:, 3:4], blk[:, 4:5]
+        dmx = jnp.sum(dpow * (ca * dx + cb * dy), 1, keepdims=True)
+        dmy = jnp.sum(dpow * (cc * dy + cb * dx), 1, keepdims=True)
+        dca = jnp.sum(dpow * (-0.5 * dx * dx), 1, keepdims=True)
+        dcb = jnp.sum(dpow * (-dx * dy), 1, keepdims=True)
+        dcc = jnp.sum(dpow * (-0.5 * dy * dy), 1, keepdims=True)
+        dlo = jnp.sum(dpow, 1, keepdims=True)
+        dc4 = [
+            jnp.sum(w * g4_ref[ch, pl.ds(rb, 1), :], 1, keepdims=True)
+            for ch in range(4)
+        ]
+        delta = jnp.concatenate(
+            [dmx, dmy, dca, dcb, dcc, dlo, *dc4,
+             jnp.zeros((g, 6), jnp.float32)],
+            axis=1,
+        )
+        dgauss_ref[:] = delta
+        ss_ref[pl.ds(rb, 1), :] = ss_row + etot
+        logtr_ref[pl.ds(rb, 1), :] = logt_end - total_l
+
+    @pl.when(rb >= 0)
+    def _():
+        lc_row = lc_ref[pl.ds(jnp.maximum(rb, 0), 1), :]
+
+        @pl.when(jnp.max(lc_row) >= 0)
+        def _():
+            live_body()
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+
+def _gather_binned(packed, slot_gauss):
+    """packed [N_pad, 16] -> [cap, 16] with col 10 = global index and
+    invalid slots alpha-disabled."""
+    safe = jnp.maximum(slot_gauss, 0)
+    rows = packed[safe]
+    invalid = slot_gauss < 0
+    rows = rows.at[:, 5].set(jnp.where(invalid, -jnp.inf, rows[:, 5]))
+    rows = rows.at[:, 10].set(slot_gauss.astype(jnp.float32))
+    return rows
+
+
+def _strip_plan(h_pad):
+    """[(rb_offset, n_rows_strip)] covering the padded image."""
+    plan = []
+    for y0 in range(0, h_pad, STRIP_ROWS):
+        rows = min(STRIP_ROWS, h_pad - y0)
+        plan.append((y0 // BLOCK_ROWS, rows))
+    return tuple(plan)
+
+
+def _run_fwd_strip(binned, rb_local, n_rb, n_pix, interpret):
+    n_chunks = binned.shape[0] // G_CHUNK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((G_CHUNK, 16), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((4, n_rb, n_pix), lambda c, m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rb, n_pix), lambda c, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rb, n_pix), lambda c, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_rb, n_pix), jnp.float32),
+            pltpu.VMEM((n_rb, n_pix), jnp.float32),
+            pltpu.SMEM((n_rb,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((4, n_rb, n_pix), jnp.float32),
+            jax.ShapeDtypeStruct((n_rb, n_pix), jnp.float32),
+            jax.ShapeDtypeStruct((n_rb, n_pix), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(rb_local, binned)
+
+
+def _run_bwd_strip(binned, rb_local, g_acc, gtu, tfin, lc, n_rb, n_pix,
+                   interpret):
+    cap = binned.shape[0]
+    n_chunks = cap // G_CHUNK
+    rev = lambda c, m: (n_chunks - 1 - c, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((G_CHUNK, 16), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_rb, n_pix), lambda c, m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rb, n_pix), lambda c, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rb, n_pix), lambda c, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rb, n_pix), lambda c, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G_CHUNK, 16), rev,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_rb, n_pix), jnp.float32),
+            pltpu.VMEM((n_rb, n_pix), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((cap, 16), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(rb_local, binned, g_acc, gtu, tfin, lc)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _composite_binned(
+    mean2d, conic, log_opacity, colors, depth, valid,
+    h_pad: int, width: int, cap: int, d_levels: int, interpret: bool,
+):
+    out, _ = _composite_binned_fwd(
+        mean2d, conic, log_opacity, colors, depth, valid,
+        h_pad, width, cap, d_levels, interpret,
+    )
+    return out
+
+
+def _local_rb_map(rb_of_chunk, rb_off, n_rb):
+    inside = (rb_of_chunk >= rb_off) & (rb_of_chunk < rb_off + n_rb)
+    return jnp.where(inside, rb_of_chunk - rb_off, -1).astype(jnp.int32)
+
+
+def _composite_binned_fwd(
+    mean2d, conic, log_opacity, colors, depth, valid,
+    h_pad, width, cap, d_levels, interpret,
+):
+    """Bins are built ONCE over the whole padded image; each VMEM-bounded
+    strip reuses the shared binned array with an offset-shifted chunk->row
+    map (chunks outside the strip skip)."""
+    n = mean2d.shape[0]
+    packed = _pack_gaussians(
+        mean2d, conic, log_opacity, colors, depth, valid, 0)
+    slot_gauss, rb_of_chunk, overflow = _build_bins(
+        mean2d, conic, log_opacity, valid, 0, h_pad, cap,
+        d_levels=d_levels)
+    binned = _gather_binned(packed, slot_gauss)
+    n_pix = BLOCK_ROWS * width
+
+    accs, tfins, lcs = [], [], []
+    for rb_off, rows in _strip_plan(h_pad):
+        n_rb = rows // BLOCK_ROWS
+        rb_local = _local_rb_map(rb_of_chunk, rb_off, n_rb)
+        acc, tfin, lc = _run_fwd_strip(
+            binned, rb_local, n_rb, n_pix, interpret)
+        accs.append(acc)
+        tfins.append(tfin)
+        lcs.append(lc)
+    residuals = (binned, rb_of_chunk, slot_gauss, tuple(tfins),
+                 tuple(lcs), n)
+    return (tuple(accs), tuple(tfins), overflow), residuals
+
+
+def _composite_binned_bwd(h_pad, width, cap, d_levels, interpret,
+                          residuals, cots):
+    binned, rb_of_chunk, slot_gauss, tfins, lcs, n = residuals
+    g_accs, g_tfins, _ = cots
+    n_pix = BLOCK_ROWS * width
+
+    dgauss = jnp.zeros((n, 16), jnp.float32)
+    safe = jnp.maximum(slot_gauss, 0)
+    slot_w = jnp.where(slot_gauss >= 0, 1.0, 0.0)[:, None]
+    for i, (rb_off, rows) in enumerate(_strip_plan(h_pad)):
+        n_rb = rows // BLOCK_ROWS
+        tfin, lc = tfins[i], lcs[i]
+        g_acc = g_accs[i] if g_accs is not None and g_accs[i] is not None \
+            else jnp.zeros((4, n_rb, n_pix), jnp.float32)
+        g_tfin = g_tfins[i] if g_tfins is not None and \
+            g_tfins[i] is not None else jnp.zeros((n_rb, n_pix), jnp.float32)
+        gtu = g_tfin * tfin
+        rb_local = _local_rb_map(rb_of_chunk, rb_off, n_rb)
+        dslots = _run_bwd_strip(
+            binned, rb_local, g_acc, gtu, tfin, lc, n_rb, n_pix, interpret)
+        dgauss = dgauss.at[safe].add(dslots * slot_w)
+    return (
+        dgauss[:, 0:2],
+        dgauss[:, 2:5],
+        dgauss[:, 5],
+        dgauss[:, 6:9],
+        dgauss[:, 9],
+        None,
+    )
+
+
+_composite_binned.defvjp(_composite_binned_fwd, _composite_binned_bwd)
+
+
+def composite_tiles_binned(
+    mean2d, conic, log_opacity, colors, depth, valid,
+    height: int, width: int, bg=None, interpret: bool | None = None,
+    cap_factor: int | None = None, d_levels: int | None = None,
+) -> CompositeOut:
+    """Drop-in replacement for rasterize.composite / composite_tiles."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = mean2d.shape[0]
+    w_pad = _round_up(width, 128)
+    h_pad = _round_up(height, BLOCK_ROWS)
+    cf = CAP_FACTOR if cap_factor is None else cap_factor
+    dl = D_LEVELS if d_levels is None else d_levels
+    n_rb_total = h_pad // BLOCK_ROWS
+    # room for per-row-block G-alignment padding on top of cf * N slots
+    cap = _round_up(max(cf * n, G_CHUNK) + n_rb_total * G_CHUNK, G_CHUNK)
+
+    accs, tfins, _ = _composite_binned(
+        mean2d, conic, log_opacity, colors, depth, valid,
+        h_pad, w_pad, cap, dl, interpret,
+    )
+    acc = jnp.concatenate(
+        [a.reshape(4, -1, w_pad) for a in accs], axis=1)[:, :height, :width]
+    tfin = jnp.concatenate(
+        [t.reshape(-1, w_pad) for t in tfins], axis=0)[:height, :width]
+
+    rgb = jnp.moveaxis(acc[:3], 0, -1)
+    if bg is not None:
+        rgb = rgb + tfin[:, :, None] * bg[None, None, :]
+    return CompositeOut(rgb=rgb, alpha=1.0 - tfin, depth=acc[3])
+
+
+def bin_overflow(
+    mean2d, conic, log_opacity, valid, height: int, width: int,
+    cap_factor: int | None = None, d_levels: int | None = None,
+):
+    """Diagnostic: True if the binned rasterizer would drop pairs for this
+    scene (capacity or extent-clamp exhaustion). Pipelines should check it
+    periodically (the axon TPU backend has no debug callbacks, so the
+    kernels cannot warn inline) and raise cap_factor / d_levels.
+    """
+    h_pad = _round_up(height, BLOCK_ROWS)
+    cf = CAP_FACTOR if cap_factor is None else cap_factor
+    dl = D_LEVELS if d_levels is None else d_levels
+    n = mean2d.shape[0]
+    n_rb_total = h_pad // BLOCK_ROWS
+    cap = _round_up(max(cf * n, G_CHUNK) + n_rb_total * G_CHUNK, G_CHUNK)
+    _, _, overflow = _build_bins(
+        mean2d, conic, log_opacity, valid, 0, h_pad, cap, d_levels=dl)
+    return overflow

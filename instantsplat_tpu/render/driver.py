@@ -28,7 +28,11 @@ import jax.numpy as jnp
 
 from instantsplat_tpu.models.camera import Camera
 from instantsplat_tpu.models.gaussians import GaussianModel
-from instantsplat_tpu.ops import rasterize, rasterize_pallas
+from instantsplat_tpu.ops import (
+    rasterize,
+    rasterize_pallas,
+    rasterize_pallas_binned,
+)
 from instantsplat_tpu.ops.projection import project_gaussians
 from instantsplat_tpu.utils import sh as SH
 from instantsplat_tpu.utils import transforms as T
@@ -117,7 +121,17 @@ def _render_impl(
             height=height, width=width, bg=bg, chunk=chunk,
         )
     elif backend == "pallas":
+        # dense chunked kernel: bitmap skip + early termination — fastest
+        # for joint-optimization workloads (opaque scenes saturate T fast)
         out = rasterize_pallas.composite_tiles(
+            mean2d, conic, log_op, colors, depth, valid,
+            height=height, width=width, bg=bg,
+        )
+    elif backend == "pallas-binned":
+        # per-row-block gather lists (CUDA-style tile binning): amortized
+        # O(sum extents) compute — wins when termination/bitmap skipping is
+        # weak (low-opacity scenes, very large N)
+        out = rasterize_pallas_binned.composite_tiles_binned(
             mean2d, conic, log_op, colors, depth, valid,
             height=height, width=width, bg=bg,
         )

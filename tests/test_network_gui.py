@@ -43,10 +43,13 @@ def test_viewer_protocol_roundtrip():
     t = threading.Thread(target=client)
     t.start()
     req = None
+    import time
+
     for _ in range(100):
         req = gui.poll()
         if req is not None:
             break
+        time.sleep(0.05)  # wait out the nonblocking-accept race
     assert req is not None
     assert (req.width, req.height) == (w, h)
     assert req.keep_alive
