@@ -25,6 +25,7 @@ def main(argv=None):
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
                         default=[])
     parser.add_argument("--test_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -46,6 +47,8 @@ def main(argv=None):
         save_iterations=args.save_iterations or None,
         checkpoint_iterations=args.checkpoint_iterations,
         progress_cb=progress,
+        start_checkpoint=args.start_checkpoint,
+        testing_iterations=args.test_iterations,
     )
     print(f"[train] done -> {model.model_path}")
 

@@ -63,11 +63,16 @@ def sharded_render(
     active_sh_degree: Optional[int] = None,
     chunk: int = 256,
     scale_modifier: float = 1.0,
+    backend: str = "oracle",
 ):
     """Render one view with pixel rows sharded over the mesh.
 
     Returns (rgb [H,W,3], alpha [H,W], depth [H,W]) replicated on all chips.
-    Differentiable w.r.t. gaussians and pose (gradients psum'd over the mesh).
+    Differentiable w.r.t. gaussians and pose (gradients psum'd over the
+    mesh). `backend` selects each chip's local compositor: 'oracle' (jnp
+    scan; runs anywhere) or 'pallas'/'pallas-binned' (TPU kernels — each
+    chip rasterizes its own row block with the same kernel the single-chip
+    driver uses, Gaussians y-shifted into block-local coordinates).
     """
     if pose is None:
         pose = camera.pose
@@ -98,10 +103,23 @@ def sharded_render(
     def _rows(m2, cn, lo, col, dep, val, bg_):
         i = jax.lax.axis_index(AXIS)
         y0 = (i * rows_per).astype(jnp.float32)
-        out = rasterize.composite(
-            m2, cn, lo, col, dep, val,
-            height=rows_per, width=W, bg=bg_, chunk=chunk, y_offset=y0,
-        )
+        if backend == "oracle":
+            out = rasterize.composite(
+                m2, cn, lo, col, dep, val,
+                height=rows_per, width=W, bg=bg_, chunk=chunk, y_offset=y0,
+            )
+        else:
+            from instantsplat_tpu.ops import (
+                rasterize_pallas,
+                rasterize_pallas_binned,
+            )
+
+            m2_local = m2 - jnp.stack(
+                [jnp.zeros_like(y0), y0])[None, :]
+            fn = (rasterize_pallas.composite_tiles if backend == "pallas"
+                  else rasterize_pallas_binned.composite_tiles_binned)
+            out = fn(m2_local, cn, lo, col, dep, val,
+                     height=rows_per, width=W, bg=bg_)
         rgb = jax.lax.all_gather(out.rgb, AXIS, axis=0, tiled=True)
         alpha = jax.lax.all_gather(out.alpha, AXIS, axis=0, tiled=True)
         depth = jax.lax.all_gather(out.depth, AXIS, axis=0, tiled=True)

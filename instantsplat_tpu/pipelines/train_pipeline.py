@@ -97,6 +97,8 @@ def run_training(
     save_iterations=None,
     checkpoint_iterations=(),
     progress_cb=None,
+    start_checkpoint=None,
+    testing_iterations=(),
 ):
     """Returns (params, history). Writes the reference artifact tree."""
     model_path = Path(model.model_path)
@@ -132,13 +134,45 @@ def run_training(
         pdir.mkdir(parents=True, exist_ok=True)
         np.save(pdir / "pose_org.npy", poses_7_to_w2c(params.cam_poses))
 
+    # resume (reference train.py:101-103)
+    opt_state0, first_iter = None, 0
+    if start_checkpoint:
+        params, opt_state0, first_iter = load_checkpoint(start_checkpoint)
+        print(f"[train] resumed from {start_checkpoint} "
+              f"at iteration {first_iter}")
+
+    # observability: JSONL scalars + periodic validation sweep
+    # (reference train.py:34-38, 256-295)
+    from instantsplat_tpu.utils.logging import (
+        ScalarLogger,
+        make_eval_fn,
+        training_report,
+    )
+
+    logger = ScalarLogger(model_path)
+    params_ref = [params]
+    eval_fn = make_eval_fn(
+        params_ref, {"train": info.cameras}, backend=trainer.backend)
+
+    def _cb(it, m):
+        training_report(logger, it, m,
+                        testing_iterations=testing_iterations,
+                        eval_fn=eval_fn)
+        if progress_cb is not None:
+            progress_cb(it, m)
+
     t0 = time.time()
     params, opt_state, history = train_joint(
         params, info.cameras, opt_cfg=opt, trainer_cfg=trainer,
         spatial_lr_scale=info.nerf_radius,
         confidence_lr=confidence_lr,
-        progress_cb=progress_cb,
+        progress_cb=_cb,
+        opt_state=opt_state0,
+        first_iter=first_iter,
+        live_ref=params_ref,
     )
+    params_ref[0] = params
+    logger.close()
     elapsed = time.time() - t0
     scene_io.save_time(model_path, "[2] train_joint", elapsed)
 

@@ -105,11 +105,16 @@ def train_joint(
     spatial_lr_scale: float = 1.0,
     confidence_lr: Optional[np.ndarray] = None,
     progress_cb: Optional[Callable[[int, dict], None]] = None,
+    opt_state=None,
+    first_iter: int = 0,
+    live_ref: Optional[list] = None,
 ):
     """Run the joint optimization loop.
 
     Returns (params, opt_state, history) where history is a list of
     (iteration, metrics-dict) at log_every cadence plus the final step.
+    Pass (opt_state, first_iter) from a loaded checkpoint to resume
+    (reference train.py:101-103 restore path).
     """
     stacked = stack_cameras(cameras)
     n_views = len(cameras)
@@ -120,7 +125,8 @@ def train_joint(
         spatial_lr_scale=spatial_lr_scale,
         total_iterations=trainer_cfg.iterations,
     )
-    opt_state = optimizer.init(params, confidence_lr=confidence_lr)
+    if opt_state is None:
+        opt_state = optimizer.init(params, confidence_lr=confidence_lr)
 
     step_fn = make_train_step(
         optimizer, stacked, bg, opt_cfg.lambda_dssim, trainer_cfg.backend,
@@ -131,7 +137,7 @@ def train_joint(
     queue: list[int] = []
     history = []
     t0 = time.time()
-    for it in range(1, trainer_cfg.iterations + 1):
+    for it in range(first_iter + 1, trainer_cfg.iterations + 1):
         if not queue:
             queue = list(rng.permutation(n_views))
         view_idx = int(queue.pop())
@@ -143,6 +149,8 @@ def train_joint(
             m = {k: float(v) for k, v in metrics.items()}
             m["elapsed_s"] = time.time() - t0
             history.append((it, m))
+            if live_ref is not None:
+                live_ref[0] = params  # expose latest params to callbacks
             if progress_cb is not None:
                 progress_cb(it, m)
     return params, opt_state, history

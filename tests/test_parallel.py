@@ -94,3 +94,29 @@ def test_sharded_train_step_runs_and_reduces_loss():
         params, state, m = step(params, state, jnp.int32(it % 3), jnp.int32(it), 0)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_sharded_render_pallas_backend_matches_oracle():
+    """Per-chip pallas kernels inside shard_map == oracle sharded render."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instantsplat_tpu.models.camera import Camera
+    from instantsplat_tpu.models.gaussians import GaussianModel
+    from instantsplat_tpu.parallel import make_mesh
+    from instantsplat_tpu.parallel.sharding import sharded_render
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 2)
+    pts = jax.random.normal(ks[0], (300, 3)) * 0.5 + jnp.array([0.0, 0.0, 4.0])
+    cols = jax.random.uniform(ks[1], (300, 3))
+    poses = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0]), (1, 1))
+    params = GaussianModel.create_from_pcd(pts, cols, cam_poses=poses)
+    cam = Camera.create(np.eye(3), np.zeros(3), fx=40.0, fy=40.0,
+                        height=32, width=32)
+    mesh = make_mesh(4)
+    rgb_o, a_o, d_o = sharded_render(params, cam, mesh, backend="oracle")
+    rgb_p, a_p, d_p = sharded_render(params, cam, mesh, backend="pallas")
+    np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_o),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_o), atol=2e-5)

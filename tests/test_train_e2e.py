@@ -133,3 +133,45 @@ def test_per_point_optimizer_runs_and_converges():
     # per-point lr must have adapted (multiplied by 0.99+0.02*sigmoid each step)
     assert opt_state.per_point_lr is not None
     assert float(jnp.std(opt_state.per_point_lr)) > 0
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    """save_checkpoint/load_checkpoint restore params + optimizer state."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instantsplat_tpu.models.gaussians import GaussianModel
+    from instantsplat_tpu.opt.gaussian_opt import (
+        GaussianOptimizer,
+        OptimizationConfig,
+    )
+    from instantsplat_tpu.pipelines.train_pipeline import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 50
+    params = GaussianModel(
+        xyz=jnp.asarray(rng.standard_normal((n, 3)), jnp.float32),
+        features_dc=jnp.asarray(rng.standard_normal((n, 1, 3)), jnp.float32),
+        features_rest=jnp.zeros((n, 15, 3), jnp.float32),
+        scaling=jnp.asarray(rng.standard_normal((n, 3)), jnp.float32),
+        rotation=jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0),
+        opacity=jnp.zeros((n, 1), jnp.float32),
+        cam_poses=jnp.asarray(rng.standard_normal((3, 7)), jnp.float32),
+    )
+    opt = GaussianOptimizer(OptimizationConfig(pp_optimizer=True))
+    state = opt.init(params)
+    # make the state non-trivial
+    grads = jax.tree.map(jnp.ones_like, params)
+    params2, state2 = opt.step(params, grads, state, jnp.int32(1))
+
+    path = tmp_path / "ck.npz"
+    save_checkpoint(path, params2, state2, 123)
+    p3, s3, it = load_checkpoint(path)
+    assert it == 123
+    np.testing.assert_allclose(p3.xyz, params2.xyz)
+    np.testing.assert_allclose(s3.m.scaling, state2.m.scaling)
+    np.testing.assert_allclose(s3.per_point_lr, state2.per_point_lr)
+    assert int(s3.step) == int(state2.step)
