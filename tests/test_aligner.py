@@ -145,3 +145,42 @@ def test_pair_indices():
     assert set(pairs) == {(i, j) for i in range(4) for j in range(4) if i != j}
     pairs = make_pair_indices(5, "oneref-2", symmetrize=False)
     assert pairs == [(2, 0), (2, 1), (2, 3), (2, 4)]
+
+
+def test_sparse_global_alignment():
+    """Descriptor-match-based alignment recovers relative poses on a
+    synthetic scene whose descriptors encode world position."""
+    from instantsplat_tpu.init.sparse_align import sparse_global_alignment
+
+    c2w_gt, focal, preds = _synthetic_scene(n_views=3)
+
+    # descriptors as smooth unit-normalized functions of the WORLD point:
+    # corresponding pixels across views share descriptors
+    def desc_of(pts_in_frame, c2w_i):
+        world = pts_in_frame @ c2w_i[:3, :3].T + c2w_i[:3, 3]
+        x, y = world[..., 0], world[..., 1]
+        # injective over the visible patch (low frequency + linear terms):
+        # aliased periodic features would create gross outlier matches
+        f = np.stack([
+            x, y, np.sin(0.5 * x), np.cos(0.4 * y),
+            np.sin(0.3 * (x + y)), np.ones_like(x),
+        ], -1)
+        return (f / np.linalg.norm(f, axis=-1, keepdims=True)).astype(
+            np.float32)
+
+    preds.desc_i = np.stack([
+        desc_of(preds.pred_i[e], c2w_gt[i])
+        for e, (i, j) in enumerate(preds.edges)
+    ])
+    preds.desc_j = np.stack([
+        desc_of(preds.pred_j[e], c2w_gt[i])
+        for e, (i, j) in enumerate(preds.edges)
+    ])
+
+    c2w, scales, loss = sparse_global_alignment(preds, subsample=4,
+                                                niter=300)
+    assert np.isfinite(loss)
+    rot, t = _relative_pose_error(c2w, c2w_gt)
+    assert rot < 0.05, rot
+    assert t < 0.15, t
+    np.testing.assert_allclose(scales, 1.0, atol=0.2)
