@@ -100,6 +100,26 @@ def align_multiple_poses(src_poses, target_poses):
     return rigid_points_registration(center_and_z(src), center_and_z(tgt))
 
 
+def estimate_focal_median(pts3d, pp=None, min_focal=0.5, max_focal=3.5):
+    """'median' focal mode (dust3r/post_process.py:22-30): nanmedian of the
+    per-pixel votes u*z/x and v*z/y."""
+    pts = np.asarray(pts3d, np.float64)
+    H, W, _ = pts.shape
+    if pp is None:
+        pp = np.array([W / 2.0, H / 2.0])
+    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+    u = (gx - pp[0]).ravel()
+    v = (gy - pp[1]).ravel()
+    p = pts.reshape(-1, 3)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fx_votes = u * p[:, 2] / p[:, 0]
+        fy_votes = v * p[:, 2] / p[:, 1]
+    focal = np.nanmedian(np.concatenate([fx_votes, fy_votes]))
+    focal_base = max(H, W) / (2 * np.tan(np.deg2rad(60) / 2))
+    return float(np.clip(focal, min_focal * focal_base,
+                         max_focal * focal_base))
+
+
 def estimate_focal_weiszfeld(pts3d, pp=None, min_focal=0.5, max_focal=3.5):
     """Estimate focal from a camera-frame pointmap [H, W, 3].
 

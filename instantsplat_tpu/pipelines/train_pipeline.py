@@ -114,9 +114,19 @@ def run_training(
         else float(model.resolution),
     )
     cam_poses = GaussianModel.init_cam_poses_from_w2c(info.poses_w2c)
+    scale_override = None
+    if model.init_scale_from_view_depth:
+        # per-point scale from min view depth (scene/__init__.py:86-95)
+        from instantsplat_tpu.utils.graphics import scale_from_view_depth
+
+        focals = np.stack([
+            [float(c.fx), float(c.fy)] for c in info.cameras])
+        scale_override = scale_from_view_depth(
+            info.points, info.poses_w2c, focals)
     params = GaussianModel.create_from_pcd(
         info.points, info.colors, cam_poses=cam_poses,
         max_sh_degree=model.sh_degree,
+        scale_override=scale_override,
     )
 
     # per-point LR from MASt3R confidence (train.py:93-96)

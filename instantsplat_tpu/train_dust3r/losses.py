@@ -99,3 +99,50 @@ def regr3d_conf_loss(gt1, gt2, pred1, pred2, alpha=0.2, norm_gt=True):
         conf_loss_2=_masked_mean(cl2, valid2),
     )
     return loss, details
+
+
+# ---------------------------------------------------------------------------
+# MASt3R descriptor matching loss (fine-tuning objective)
+# ---------------------------------------------------------------------------
+
+
+def infonce_matching_loss(desc1, desc2, valid_matches=None,
+                          temperature=0.07, eps=1e-8, mode="proper"):
+    """InfoNCE over matched descriptor pairs (mast3r/losses.py:237-273).
+
+    desc1/desc2: [B, N, D] descriptors of CORRESPONDING points (positives
+    along the diagonal of the per-batch similarity matrix); valid_matches:
+    [B, N] bool. Modes: 'all' (single normalization over the whole matrix),
+    'proper' (row + column normalizations), 'dual' (same as proper in this
+    implementation's contract).
+    """
+    import jax.numpy as jnp
+
+    d1 = jnp.asarray(desc1, jnp.float32)
+    d2 = jnp.asarray(desc2, jnp.float32)
+    b, n, _ = d1.shape
+    if valid_matches is None:
+        valid = jnp.ones((b, n), bool)
+    else:
+        valid = jnp.asarray(valid_matches, bool)
+
+    import jax
+
+    sim = jnp.einsum("bnd,bmd->bnm", d1, d2) / temperature
+    # mask invalid rows/cols out of every normalization
+    row_ok = valid[:, :, None]
+    col_ok = valid[:, None, :]
+    sim = jnp.where(row_ok & col_ok, sim, -jnp.inf)
+    log_pos = jnp.diagonal(sim, axis1=-2, axis2=-1)  # [B, N]
+    # log-sum-exp form: the reference exponentiates in place (losses.py:259)
+    # which overflows at low temperature; this is the stable equivalent.
+    if mode == "all":
+        denom = jax.nn.logsumexp(sim, axis=(-1, -2))[:, None]
+        loss = -(log_pos - denom)
+    else:  # 'proper' / 'dual'
+        loss = -(
+            (log_pos - jax.nn.logsumexp(sim, axis=-2))
+            + (log_pos - jax.nn.logsumexp(sim, axis=-1))
+        )
+    loss = jnp.where(valid, loss, 0.0)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1)

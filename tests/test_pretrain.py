@@ -70,3 +70,60 @@ def test_dp_train_step_runs_and_learns():
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                      params, params2)
     assert max(jax.tree.leaves(d)) > 0
+
+
+def test_infonce_matching_loss():
+    """Matching descriptors beat shuffled ones; perfect one-hot-like
+    separation drives the loss toward zero."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from instantsplat_tpu.train_dust3r.losses import infonce_matching_loss
+
+    rng = np.random.default_rng(0)
+    b, n, d = 2, 32, 16
+    base = rng.standard_normal((b, n, d)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=-1, keepdims=True)
+    matched = infonce_matching_loss(base, base)
+    shuffled = infonce_matching_loss(
+        base, base[:, rng.permutation(n)])
+    assert float(matched) < float(shuffled)
+    # sharp descriptors (scaled similarity) -> near-zero proper-InfoNCE
+    sharp = infonce_matching_loss(base * 4.0, base * 4.0,
+                                  temperature=0.01)
+    assert float(sharp) < 0.1
+    # valid mask excludes rows
+    vm = np.ones((b, n), bool)
+    vm[:, : n // 2] = False
+    masked = infonce_matching_loss(base, base, valid_matches=vm)
+    assert np.isfinite(float(masked))
+
+
+def test_colmap_db_export(tmp_path):
+    import sqlite3
+
+    import numpy as np
+
+    from instantsplat_tpu.data.colmap_db import export_matches_to_colmap_db
+
+    edges = [(0, 1), (1, 0)]
+    xy1 = np.array([[4, 5], [10, 12]])
+    xy2 = np.array([[6, 7], [11, 13]])
+    ids = export_matches_to_colmap_db(
+        tmp_path / "db.db", ["a.png", "b.png"], (48, 64),
+        [100.0, 100.0], [(xy1, xy2), (xy2, xy1)], edges,
+        w2c_priors=np.tile(np.eye(4), (2, 1, 1)),
+    )
+    con = sqlite3.connect(tmp_path / "db.db")
+    assert con.execute("SELECT COUNT(*) FROM images").fetchone()[0] == 2
+    assert con.execute("SELECT COUNT(*) FROM cameras").fetchone()[0] == 2
+    n_kp = con.execute(
+        "SELECT rows FROM keypoints WHERE image_id=?",
+        (ids[0],)).fetchone()[0]
+    assert n_kp == 2
+    rows, data = con.execute(
+        "SELECT rows, data FROM matches").fetchone()
+    assert rows == 2
+    m = np.frombuffer(data, np.uint32).reshape(-1, 2)
+    assert m.shape == (2, 2)
+    con.close()
