@@ -194,7 +194,15 @@ def encode_images(params, cfg: MASt3RConfig, images):
     """images [B, H, W, 3] in [0,1] -> (tokens [B,S,D], pos [B,S,2])."""
     b, h, w, _ = images.shape
     assert h % cfg.patch_size == 0 and w % cfg.patch_size == 0
-    assert w >= h, "landscape orientation expected (see module docstring)"
+    # NOTE orientation: the reference's ManyAR_PatchEmbed /
+    # transpose_to_landscape machinery (dust3r/patch_embed.py:32-70,
+    # dust3r/utils/misc.py:54-96) exists to process portrait images stored
+    # transposed inside mixed-aspect landscape batches. Here batches share
+    # one aspect and every stage (conv embed, RoPE positions, DPT reshape,
+    # pixel shuffle) is computed from the ACTUAL (h, w), so portrait
+    # images are processed directly in their true orientation — the token
+    # set and positions match the reference's scheme up to scan order
+    # (attention is permutation-equivariant; see tests).
     x = images * 2.0 - 1.0  # DUSt3R ImgNorm
     x = jax.lax.conv_general_dilated(
         x, params["patch_embed"]["w"],

@@ -184,3 +184,53 @@ def test_sparse_global_alignment():
     assert rot < 0.05, rot
     assert t < 0.15, t
     np.testing.assert_allclose(scales, 1.0, atol=0.2)
+
+
+def test_triangulate_matches():
+    from instantsplat_tpu.init.depth_refine import triangulate_matches
+
+    K = np.array([[50.0, 0, 16], [0, 50.0, 12], [0, 0, 1]])
+    c2w1 = np.eye(4)
+    c2w2 = np.eye(4)
+    c2w2[:3, 3] = [0.5, 0, 0]
+    pts = np.array([[0.2, 0.1, 3.0], [-0.3, 0.2, 4.0], [0.0, 0.0, 2.5]])
+
+    def project(p, c2w):
+        pc = (p - c2w[:3, 3]) @ c2w[:3, :3]
+        return pc[:2] / pc[2] * 50.0 + [16, 12]
+
+    xy1 = np.stack([project(p, c2w1) for p in pts])
+    xy2 = np.stack([project(p, c2w2) for p in pts])
+    tri, gap = triangulate_matches(xy1, xy2, K, K, c2w1, c2w2)
+    np.testing.assert_allclose(tri, pts, atol=1e-9)
+    assert gap.max() < 1e-9
+
+
+def test_tsdf_refine_improves_noisy_depth():
+    from instantsplat_tpu.init.depth_refine import tsdf_refine_depth
+
+    h, w = 24, 32
+    f = 40.0
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]])
+    c2w = np.tile(np.eye(4), (3, 1, 1))
+    c2w[1, :3, 3] = [0.15, 0, 0]
+    c2w[2, :3, 3] = [-0.15, 0, 0]
+    gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+    # plane z=3 in world; per-view GT depth via ray intersection
+    gt = []
+    for v in range(3):
+        dirs = np.stack([(gx - w / 2) / f, (gy - h / 2) / f,
+                         np.ones_like(gx)], -1) @ c2w[v, :3, :3].T
+        lam = (3.0 - c2w[v, 2, 3]) / dirs[..., 2]
+        gt.append(lam)
+    gt = np.stack(gt).astype(np.float32)
+    rng = np.random.default_rng(0)
+    noisy = gt.copy()
+    noisy[0] += rng.standard_normal(gt[0].shape).astype(np.float32) * 0.05
+    refined = np.asarray(tsdf_refine_depth(
+        noisy, np.tile(K, (3, 1, 1)), c2w, trunc=0.2, n_iter=4))
+    # interior pixels of the noisy view move toward GT
+    sl = (0, slice(4, -4), slice(4, -4))
+    err_before = np.abs(noisy[sl] - gt[sl]).mean()
+    err_after = np.abs(refined[sl] - gt[sl]).mean()
+    assert err_after < err_before * 0.7, (err_before, err_after)

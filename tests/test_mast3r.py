@@ -215,3 +215,43 @@ def test_infer_pairs_produces_pair_prediction(tiny_model):
     r1, _ = mast3r.forward_pair(params, cfg, imgs[0:1], imgs[1:2])
     np.testing.assert_allclose(
         preds.pred_i[0], np.asarray(r1["pts3d"][0]), rtol=1e-4, atol=1e-3)
+
+
+def test_portrait_orientation(tiny_model):
+    """Portrait inputs run directly in their true orientation; the encoder
+    is equivariant to token scan order, which makes this equal to the
+    reference's ManyAR scheme (true-orientation patches in transposed scan
+    order with matching positions)."""
+    params, cfg = tiny_model
+    rng = np.random.default_rng(7)
+    h, w = 48, 32  # portrait
+    img1 = rng.random((1, h, w, 3)).astype(np.float32)
+    img2 = rng.random((1, h, w, 3)).astype(np.float32)
+    r1, r2 = mast3r.forward_pair(params, cfg, img1, img2)
+    assert r1["pts3d"].shape == (1, h, w, 3)
+    assert np.isfinite(np.asarray(r1["pts3d"])).all()
+    assert r2["desc"].shape == (1, h, w, cfg.local_feat_dim)
+
+    # scan-order equivariance: permute tokens+positions (column-major scan,
+    # the ManyAR portrait order) -> encoder output is the same permutation
+    f_direct, pos_direct = mast3r.encode_images(params, cfg, img1)
+    hp, wp = h // cfg.patch_size, w // cfg.patch_size
+    perm = np.arange(hp * wp).reshape(hp, wp).T.reshape(-1)
+
+    x = jnp.asarray(img1) * 2.0 - 1.0
+    import jax
+
+    tok = jax.lax.conv_general_dilated(
+        x, params["patch_embed"]["w"],
+        (cfg.patch_size, cfg.patch_size), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["patch_embed"]["b"]
+    tok = tok.reshape(1, hp * wp, cfg.enc_embed_dim)[:, perm]
+    posP = pos_direct[:, perm]
+    t = tok
+    for blk in params["enc_blocks"]:
+        t = mast3r._enc_block(blk, t, posP, cfg)
+    t = mast3r._layer_norm(params["enc_norm"], t, cfg.ln_eps)
+    inv = np.argsort(perm)
+    np.testing.assert_allclose(
+        np.asarray(t[:, inv]), np.asarray(f_direct), atol=2e-4)
