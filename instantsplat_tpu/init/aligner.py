@@ -133,6 +133,8 @@ class GlobalAligner:
             np.array([self.W / 2.0, self.H / 2.0], np.float32),
             (self.n_imgs, 1))
         self.focals_frozen = False
+        self.poses_frozen = False
+        self.norm_pw_scale = True
 
     # ------------------------------------------------------------------
     # host-side initialization
@@ -258,8 +260,12 @@ class GlobalAligner:
                 self.preds.pred_i[e], pts3d[i], conf=self.preds.conf_i[e])
             self._set_pose(self.params["pw_poses"], e, R, T, scale=s)
 
-        s_factor = float(np.exp(
-            np.log(self.base_scale) - self.params["pw_poses"][:, 7].mean()))
+        if self.norm_pw_scale:
+            s_factor = float(np.exp(
+                np.log(self.base_scale)
+                - self.params["pw_poses"][:, 7].mean()))
+        else:
+            s_factor = 1.0
         im_poses = np.array(im_poses, np.float64)
         im_poses[:, :3, 3] *= s_factor
 
@@ -311,6 +317,7 @@ class GlobalAligner:
 
         focal_break = self.focal_break
         base_scale = self.base_scale
+        norm_pw_scale = self.norm_pw_scale
         total_i = float(len(self.edges) * self.area)
         total_j = float(len(self.edges) * self.area)
 
@@ -332,8 +339,11 @@ class GlobalAligner:
             q = T.quat_normalize(params["pw_poses"][:, :4])
             Rw = T.quat_to_rotmat(q)
             logs = params["pw_poses"][:, 7]
-            scale = jnp.exp(logs) * jnp.exp(
-                jnp.log(base_scale) - jnp.mean(logs))
+            if norm_pw_scale:
+                scale = jnp.exp(logs) * jnp.exp(
+                    jnp.log(base_scale) - jnp.mean(logs))
+            else:
+                scale = jnp.exp(logs)
             # scale multiplies rotation AND translation (get_pw_poses)
             Rs = Rw * scale[:, None, None]
             tw = G.signed_expm1(params["pw_poses"][:, 4:7]) * scale[:, None]
@@ -361,7 +371,9 @@ class GlobalAligner:
         loss_fn = self._loss_fn()
         buffers = self._buffers()
         params = {k: jnp.asarray(v) for k, v in self.params.items()}
-        trainable = dict(pw_poses=True, im_poses=True, im_depth=True,
+        trainable = dict(pw_poses=True,
+                         im_poses=not self.poses_frozen,
+                         im_depth=True,
                          im_focals=not self.focals_frozen)
         beta1, beta2, eps = 0.9, 0.9, 1e-8
 
@@ -528,3 +540,29 @@ def pair_scene_fast(preds: PairPrediction):
         for i in range(2)
     ])
     return c2w, np.array(focals), depth, pts3d
+
+
+# --------------------------------------------------------------------------
+# preset / freeze support (reference preset_pose / preset_focal /
+# modular_optimizer's freezable per-image parameters)
+# --------------------------------------------------------------------------
+
+
+def _aligner_preset_pose(self, known_poses, pose_msk=None):
+    """Fix (some) image poses to known c2w matrices and freeze them during
+    align() (optimizer.py:68-82 preset_pose + modular_optimizer's
+    per-image freezing, approximated at group granularity: poses are
+    frozen when ALL are preset, matching the InstantSplat usage)."""
+    idx = range(self.n_imgs) if pose_msk is None else pose_msk
+    for k, i in enumerate(idx):
+        m = np.asarray(known_poses[k], np.float64)
+        self._set_pose(self.params["im_poses"], i, m[:3, :3], m[:3, 3])
+    self.poses_frozen = (pose_msk is None
+                         or len(list(pose_msk)) == self.n_imgs)
+    # scale normalization is disabled once poses are known
+    # (optimizer.py:79-82)
+    if self.poses_frozen:
+        self.norm_pw_scale = False
+
+
+GlobalAligner.preset_pose = _aligner_preset_pose

@@ -127,3 +127,33 @@ def test_colmap_db_export(tmp_path):
     m = np.frombuffer(data, np.uint32).reshape(-1, 2)
     assert m.shape == (2, 2)
     con.close()
+
+
+def test_posed_dataset_batches(tmp_path):
+    import numpy as np
+
+    from instantsplat_tpu.train_dust3r.datasets import (
+        PosedMultiViewDataset,
+        write_synthetic_scene,
+    )
+
+    write_synthetic_scene(tmp_path, "s0", n_views=5)
+    write_synthetic_scene(tmp_path, "s1", n_views=4, seed=1)
+    ds = PosedMultiViewDataset(tmp_path, pair_window=2)
+    assert len(ds) > 0
+    batches = list(ds.batches(batch_size=2, seed=0))
+    assert len(batches) >= 2
+    b = batches[0]
+    assert b["img1"].shape == (2, 32, 48, 3)
+    assert b["gt1"]["pts3d"].shape == (2, 32, 48, 3)
+    assert b["gt2"]["camera_pose"].shape == (2, 4, 4)
+    assert bool(b["gt1"]["valid_mask"].all())
+    # unprojection consistency: depth=z along optical axis recovers depth
+    pts = np.asarray(b["gt1"]["pts3d"][0])
+    pose = np.asarray(b["gt1"]["camera_pose"][0])
+    cam_pts = (pts.reshape(-1, 3) - pose[:3, 3]) @ pose[:3, :3]
+    assert np.isfinite(cam_pts).all() and (cam_pts[:, 2] > 0).all()
+    # sharding splits pairs disjointly
+    b0 = list(ds.batches(2, shard=(0, 2)))
+    b1 = list(ds.batches(2, shard=(1, 2)))
+    assert len(b0) + len(b1) <= len(batches) + 1
