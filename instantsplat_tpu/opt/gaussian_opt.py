@@ -11,10 +11,11 @@ Functional (optax-style) re-design of the reference's optimizer wiring:
 - the PerPointAdam variant (scene/per_point_adam.py:34-98): a per-point LR
   multiplier vector on xyz derived from MASt3R confidence
   (train.py:63-85: lr = (1 - sigmoid(conf)) * (max - min) + min, scale
-  (1, 100) at train.py:96), self-adjusted each step by
-  0.99 + 0.02 * sigmoid(||grad_i||) (per_point_adam.py:26-32), and moment
-  updates skipped when the whole-tensor grad norm is zero
-  (per_point_adam.py:65-73 — `grad.norm() > 0` is a scalar in the reference).
+  (1, 100) at train.py:96), and moment updates skipped when the
+  whole-tensor grad norm is zero (per_point_adam.py:65-73). The
+  reference's "self-adjusting" LR (per_point_adam.py:26-32) updates a
+  local that is never written back — effectively a no-op — and is matched
+  as such (see the inline note in `step`).
 
 On TPU the whole update is one fused elementwise XLA graph over the
 parameter pytree inside the jitted train step — there is no kernel launch
@@ -172,10 +173,14 @@ class GaussianOptimizer:
                 upd = step_size * m / denom
                 if name == "xyz" and state.per_point_lr is not None:
                     upd = upd * state.per_point_lr
-                    gmag = jnp.linalg.norm(g, axis=-1, keepdims=True)
-                    new_ppl = state.per_point_lr * (
-                        0.99 + 0.02 * jax.nn.sigmoid(gmag)
-                    )
+                    # NOTE: the reference's self-adjusting per-point LR
+                    # (per_point_adam.py:26-32, applied at :98) updates a
+                    # LOCAL variable that is never written back to the
+                    # param group — the adjustment is discarded every
+                    # step. Persisting it compounds ~1.01x/step and
+                    # destabilizes long runs (verified on TPU), so we
+                    # match the reference's effective behavior: the
+                    # confidence-derived LRs stay fixed.
                 p = p - upd
             else:
                 # torch.optim.Adam formulation: denom = sqrt(v)/sqrt(bc2)+eps.
