@@ -84,7 +84,25 @@ def _tri(g: int):
 
 
 def _cumsum_g(tri, x):
-    """Inclusive prefix sum along the Gaussian (sublane) axis via the MXU."""
+    """Inclusive prefix sum along the Gaussian (sublane) axis via the MXU.
+
+    Split-bf16x2 evaluation: x = hi + lo with hi = bf16(x) (exactly
+    representable), lo = x - hi. tri is 0/1 (exact in bf16), so each
+    DEFAULT-precision pass computes exact products with f32 accumulation;
+    the only error is lo's own bf16 truncation (~2^-17 relative) — within
+    float32 noise for this sum at one third the MXU passes of
+    Precision.HIGHEST (2 vs 6).
+    """
+    if MATMUL_PRECISION == jax.lax.Precision.HIGHEST:
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = x - hi
+        dims = (((1,), (0,)), ((), ()))
+        return (
+            jax.lax.dot_general(tri, hi, dims,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(tri, lo, dims,
+                                  preferred_element_type=jnp.float32)
+        )
     return jax.lax.dot_general(
         tri, x, (((1,), (0,)), ((), ())), **_dot_kwargs())
 

@@ -79,6 +79,9 @@ def prepare_sorted_splats(
 
     order = rasterize.sort_by_depth(proj.depth, proj.valid)
     log_op = jnp.log(jnp.maximum(gaussians.get_opacity()[:, 0], 1e-12))
+    # NOTE: six separate same-index gathers measure FASTER than one packed
+    # [N, 10] gather + slices (XLA fuses shared-index gathers; the packed
+    # form materializes extra copies) — measured 4.25 vs 3.64 Mpix/s.
     sorted_splats = (
         proj.mean2d[order],
         proj.conic[order],
