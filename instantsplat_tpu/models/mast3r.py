@@ -81,9 +81,12 @@ class MASt3RConfig:
 
 
 def _layer_norm(p, x, eps):
-    mu = jnp.mean(x, -1, keepdims=True)
-    var = jnp.var(x, -1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # statistics in f32 even under bf16 inference (standard mixed precision)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.var(xf, -1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return out.astype(x.dtype)
 
 
 def _linear(p, x):
@@ -112,11 +115,13 @@ def _rotate_half(x):
 def _apply_rope2d(tokens, pos, freq):
     """tokens [B, heads, S, hd]; pos [B, S, 2] (y, x) patch indices."""
     hd = tokens.shape[-1]
+    dt = tokens.dtype
     y_tok, x_tok = jnp.split(tokens, 2, axis=-1)
     cos_y, sin_y = _rope_cos_sin(pos[..., 0], hd // 2, freq)
     cos_x, sin_x = _rope_cos_sin(pos[..., 1], hd // 2, freq)
-    cos_y, sin_y = cos_y[:, None], sin_y[:, None]  # broadcast over heads
-    cos_x, sin_x = cos_x[:, None], sin_x[:, None]
+    # angles are computed in f32; apply in the token dtype (bf16 inference)
+    cos_y, sin_y = cos_y[:, None].astype(dt), sin_y[:, None].astype(dt)
+    cos_x, sin_x = cos_x[:, None].astype(dt), sin_x[:, None].astype(dt)
     y_tok = y_tok * cos_y + _rotate_half(y_tok) * sin_y
     x_tok = x_tok * cos_x + _rotate_half(x_tok) * sin_x
     return jnp.concatenate([y_tok, x_tok], -1)
@@ -135,7 +140,7 @@ def _heads_merge(x):
 def _attention(q, k, v):
     hd = q.shape[-1]
     att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
-    att = jax.nn.softmax(att, axis=-1)
+    att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", att, v)
 
 
@@ -272,8 +277,8 @@ def _resize_bilinear_ac(x, out_h, out_w):
     y1 = jnp.clip(y0 + 1, 0, h - 1)
     x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, w - 1)
     x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = (gy - y0)[None, :, None, None]
-    wx = (gx - x0)[None, None, :, None]
+    wy = (gy - y0)[None, :, None, None].astype(x.dtype)
+    wx = (gx - x0)[None, None, :, None].astype(x.dtype)
     top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
     bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
     return top * (1 - wy) + bot * wy
@@ -402,26 +407,39 @@ def _init_ln(d):
     return {"scale": jnp.ones(d), "bias": jnp.zeros(d)}
 
 
-def _init_linear(key, din, dout, scale=None):
+def _init_linear(rng, din, dout, scale=None):
     scale = scale if scale is not None else 1.0 / math.sqrt(din)
     return {
-        "w": jax.random.normal(key, (din, dout)) * scale,
+        "w": jnp.asarray(
+            rng.standard_normal((din, dout)).astype(np.float32) * scale),
         "b": jnp.zeros(dout),
     }
 
 
-def _init_conv(key, kh, kw, cin, cout, bias=True):
-    p = {"w": jax.random.normal(key, (kh, kw, cin, cout))
-         * (1.0 / math.sqrt(kh * kw * cin))}
+def _init_conv(rng, kh, kw, cin, cout, bias=True):
+    p = {"w": jnp.asarray(
+        rng.standard_normal((kh, kw, cin, cout)).astype(np.float32)
+        * (1.0 / math.sqrt(kh * kw * cin)))}
     if bias:
         p["b"] = jnp.zeros(cout)
     return p
 
 
+class _RngIter:
+    """numpy generator posing as the old split-key iterator (host-side
+    init: thousands of tiny on-device RNG calls over the TPU tunnel made
+    ViT-L init take minutes)."""
+
+    def __init__(self, seed):
+        self.rng = np.random.default_rng(seed)
+
+    def __next__(self):
+        return self.rng
+
+
 def init_params(cfg: MASt3RConfig = MASt3RConfig(), seed: int = 0):
     """Random parameter tree (testing / shape-checking)."""
-    key = jax.random.PRNGKey(seed)
-    ks = iter(jax.random.split(key, 4096))
+    ks = _RngIter(seed)
 
     def enc_blk(d, hd):
         return {
@@ -631,3 +649,21 @@ def load_checkpoint(path, cfg: MASt3RConfig = MASt3RConfig()):
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     return convert_torch_checkpoint(sd, cfg)
+
+
+def cast_params(params, dtype):
+    """Cast matrix/conv weights to `dtype` for mixed-precision inference;
+    LayerNorm scales/biases stay f32 (stats are computed in f32)."""
+
+    def go(path_leaf):
+        return jax.tree_util.tree_map_with_path(
+            lambda kp, x: (
+                x if any(
+                    getattr(k, "key", None) in ("scale", "bias")
+                    for k in kp
+                ) else x.astype(dtype)
+            ),
+            path_leaf,
+        )
+
+    return go(params)

@@ -213,8 +213,10 @@ def test_infer_pairs_produces_pair_prediction(tiny_model):
     assert preds.n_imgs == 3
     # cached-encoding consistency: direct forward of pair (0, 1)
     r1, _ = mast3r.forward_pair(params, cfg, imgs[0:1], imgs[1:2])
+    ref = np.asarray(r1["pts3d"][0])
+    scale = max(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(
-        preds.pred_i[0], np.asarray(r1["pts3d"][0]), rtol=1e-4, atol=1e-3)
+        preds.pred_i[0] / scale, ref / scale, atol=1e-4)
 
 
 def test_portrait_orientation(tiny_model):
@@ -255,3 +257,22 @@ def test_portrait_orientation(tiny_model):
     inv = np.argsort(perm)
     np.testing.assert_allclose(
         np.asarray(t[:, inv]), np.asarray(f_direct), atol=2e-4)
+
+
+def test_bf16_inference_close_to_f32(tiny_model):
+    params, cfg = tiny_model
+    rng = np.random.default_rng(11)
+    imgs = rng.random((2, 32, 32, 3)).astype(np.float32)
+    pairs = [(0, 1), (1, 0)]
+    p32 = infer_pairs(params, cfg, imgs, pairs, batch_size=2)
+    p16 = infer_pairs(params, cfg, imgs, pairs, batch_size=2,
+                      dtype=jnp.bfloat16)
+    # pointmaps agree to bf16-level accuracy for almost every element
+    # (random-weight expm1 outputs have huge-magnitude outliers where
+    # bf16's 8-bit mantissa legitimately deviates more)
+    scale = np.abs(p32.pred_i).max()
+    d = np.abs(p16.pred_i - p32.pred_i) / scale
+    assert np.quantile(d, 0.999) < 0.05, np.quantile(d, 0.999)
+    assert d.max() < 0.5, d.max()
+    # outputs are f32 regardless
+    assert p16.pred_i.dtype == np.float32
