@@ -25,3 +25,28 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compilation_cache():
+    """The pipeline's five stages run as separate processes (SURVEY.md §1:
+    stage coupling is through the filesystem), so without a persistent
+    compilation cache every stage pays full XLA/Mosaic compile time for
+    the same programs. Opt into JAX's on-disk cache unless the user
+    configured one already."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "instantsplat_tpu_xla")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
+_enable_persistent_compilation_cache()
