@@ -26,6 +26,11 @@ def main(argv=None):
                         default=[])
     parser.add_argument("--test_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
+    # SIBR viewer wiring (reference train.py:310: --disable_viewer defaults
+    # to True; pass --enable_viewer to serve live renders on --port)
+    parser.add_argument("--enable_viewer", action="store_true")
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
     parser.add_argument("--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -42,6 +47,14 @@ def main(argv=None):
             print(f"[train] iter {it}: loss={m['loss']:.5f} "
                   f"psnr={m['psnr']:.2f}", flush=True)
 
+    viewer = None
+    if args.enable_viewer:
+        from instantsplat_tpu.render.network_gui import NetworkGUI
+
+        viewer = NetworkGUI()
+        viewer.init(args.ip, args.port)
+        print(f"[train] viewer listening on {args.ip}:{args.port}")
+
     run_training(
         model, opt, trainer,
         save_iterations=args.save_iterations or None,
@@ -49,7 +62,10 @@ def main(argv=None):
         progress_cb=progress,
         start_checkpoint=args.start_checkpoint,
         testing_iterations=args.test_iterations,
+        viewer=viewer,
     )
+    if viewer is not None:
+        viewer.close()
     print(f"[train] done -> {model.model_path}")
 
 

@@ -99,6 +99,7 @@ def run_training(
     progress_cb=None,
     start_checkpoint=None,
     testing_iterations=(),
+    viewer=None,
 ):
     """Returns (params, history). Writes the reference artifact tree."""
     model_path = Path(model.model_path)
@@ -137,6 +138,29 @@ def run_training(
         conf = np.load(conf_path).reshape(-1)
         if len(conf) == params.num_points:
             confidence_lr = np.asarray(confidence_to_lr(conf))
+
+    # input.ply copy + cameras.json export (scene/__init__.py:53-65 +
+    # utils/camera_utils.py:66-86 camera_to_JSON)
+    import json as _json
+    import shutil as _shutil
+
+    if Path(info.ply_path).exists():
+        _shutil.copyfile(info.ply_path, model_path / "input.ply")
+    json_cams = []
+    for cid, cam in enumerate(info.cameras):
+        c2w = np.linalg.inv(info.poses_w2c[cid])
+        json_cams.append({
+            "id": cid,
+            "img_name": Path(info.image_names[cid]).stem,
+            "width": cam.width,
+            "height": cam.height,
+            "position": c2w[:3, 3].tolist(),
+            "rotation": [row.tolist() for row in c2w[:3, :3]],
+            "fx": float(cam.fx),
+            "fy": float(cam.fy),
+        })
+    with open(model_path / "cameras.json", "w") as f:
+        _json.dump(json_cams, f)
 
     # pose_org snapshot per save iteration (train.py:104-107)
     for it in save_iterations:
@@ -180,6 +204,7 @@ def run_training(
         opt_state=opt_state0,
         first_iter=first_iter,
         live_ref=params_ref,
+        viewer=viewer,
     )
     params_ref[0] = params
     logger.close()

@@ -108,13 +108,16 @@ def train_joint(
     opt_state=None,
     first_iter: int = 0,
     live_ref: Optional[list] = None,
+    viewer=None,
 ):
     """Run the joint optimization loop.
 
     Returns (params, opt_state, history) where history is a list of
     (iteration, metrics-dict) at log_every cadence plus the final step.
     Pass (opt_state, first_iter) from a loaded checkpoint to resume
-    (reference train.py:101-103 restore path).
+    (reference train.py:101-103 restore path). `viewer` is an optional
+    render.network_gui.NetworkGUI polled between iterations (the
+    reference's SIBR loop, train.py:125-138, off by default).
     """
     stacked = stack_cameras(cameras)
     n_views = len(cameras)
@@ -138,6 +141,8 @@ def train_joint(
     history = []
     t0 = time.time()
     for it in range(first_iter + 1, trainer_cfg.iterations + 1):
+        if viewer is not None:
+            _serve_viewer(viewer, params, trainer_cfg)
         if not queue:
             queue = list(rng.permutation(n_views))
         view_idx = int(queue.pop())
@@ -154,3 +159,17 @@ def train_joint(
             if progress_cb is not None:
                 progress_cb(it, m)
     return params, opt_state, history
+
+
+def _serve_viewer(viewer, params, trainer_cfg):
+    """Answer at most one pending SIBR viewer request with a live render."""
+    try:
+        req = viewer.poll()
+        if req is None:
+            return
+        out = render(params, req.camera,
+                     scale_modifier=req.scaling_modifier,
+                     backend=trainer_cfg.backend)
+        viewer.send_image(np.asarray(out.render), verify="training")
+    except Exception:  # the viewer must never kill training
+        viewer.conn = None
