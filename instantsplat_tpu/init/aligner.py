@@ -363,13 +363,32 @@ class GlobalAligner:
         self._unproject = unproject
         return loss
 
-    def align(self, niter=300, lr=0.01, lr_min=1e-6, schedule="cosine"):
-        """Run the jitted alignment loop; returns the final loss."""
+    def align(self, niter=300, lr=0.01, lr_min=1e-6, schedule="cosine",
+              mesh=None):
+        """Run the jitted alignment loop; returns the final loss.
+
+        With `mesh` (1-D jax.sharding.Mesh), the stacked edge tensors are
+        sharded over the mesh axis (edge data parallelism — the E directed
+        edges dominate memory and compute at E x H x W x 3) while the
+        parameters stay replicated; XLA inserts the gradient psum over ICI
+        from the shardings (SURVEY.md §2.2 mapping).
+        """
         import jax
         import jax.numpy as jnp
 
         loss_fn = self._loss_fn()
         buffers = self._buffers()
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = list(mesh.axis_names)[0]
+            n_dev = mesh.shape[axis]
+            if len(self.edges) % n_dev == 0:
+                edge_sh = NamedSharding(mesh, P(axis))
+                for k in ("pred_i", "pred_j", "w_i", "w_j", "ei", "ej"):
+                    buffers[k] = jax.device_put(buffers[k], edge_sh)
+            else:  # uneven edge count: stay replicated (correct, unsharded)
+                mesh = None
         params = {k: jnp.asarray(v) for k, v in self.params.items()}
         trainable = dict(pw_poses=True,
                          im_poses=not self.poses_frozen,

@@ -120,3 +120,28 @@ def test_sharded_render_pallas_backend_matches_oracle():
     np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_o),
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_o), atol=2e-5)
+
+
+def test_aligner_mesh_sharded_matches_single():
+    """Edge-sharded alignment == unsharded alignment (same jitted math)."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_aligner import _synthetic_scene
+
+    from instantsplat_tpu.init import GlobalAligner
+    from instantsplat_tpu.parallel import make_mesh
+
+    c2w_gt, _, preds = _synthetic_scene(n_views=3)  # 6 edges
+    a1 = GlobalAligner(preds)
+    a1.init_mst(focal_avg=True)
+    l1 = a1.align(niter=40)
+    a2 = GlobalAligner(preds)
+    a2.init_mst(focal_avg=True)
+    mesh = make_mesh(2)  # 6 edges % 2 == 0
+    l2 = a2.align(niter=40, mesh=mesh)
+    assert abs(l1 - l2) < 1e-5, (l1, l2)
+    np.testing.assert_allclose(a1.get_im_poses(), a2.get_im_poses(),
+                               atol=1e-4)
