@@ -25,8 +25,6 @@ with zero moments (matching the reference's padding with zeros).
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

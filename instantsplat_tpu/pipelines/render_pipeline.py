@@ -19,7 +19,6 @@ Pipeline equivalent of the reference render.py (SURVEY.md §3.3):
 
 from __future__ import annotations
 
-import functools
 import json
 import time
 from pathlib import Path

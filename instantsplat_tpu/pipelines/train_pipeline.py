@@ -24,7 +24,6 @@ from pathlib import Path
 import numpy as np
 
 from instantsplat_tpu.data import ply, scene as scene_io
-from instantsplat_tpu.models.camera import Camera
 from instantsplat_tpu.models.gaussians import GaussianModel
 from instantsplat_tpu.opt.gaussian_opt import (
     OptimizationConfig,

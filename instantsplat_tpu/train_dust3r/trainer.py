@@ -20,7 +20,6 @@ iterator of (view1, view2) batches.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Iterator, Optional
 
 import jax

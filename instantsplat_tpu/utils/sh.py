@@ -10,7 +10,6 @@ constant under jit).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 C0 = 0.28209479177387814
 C1 = 0.4886025119029199
