@@ -98,3 +98,34 @@ def test_lpips_unavailable_raises():
     image_metrics.set_default_lpips(None)
     with pytest.raises(RuntimeError, match="LPIPS weights unavailable"):
         image_metrics.lpips(np.zeros((8, 8, 3)), np.zeros((8, 8, 3)))
+
+
+def test_lpips_torch_weight_conversion(tmp_path):
+    """LpipsVGG.from_torch_files consumes torchvision-style vgg16 features
+    + richzhang lin weights saved with torch."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    feat_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    plan = [(64, 3), (64, 64), (128, 64), (128, 128), (256, 128),
+            (256, 256), (256, 256), (512, 256), (512, 512), (512, 512),
+            (512, 512), (512, 512), (512, 512)]
+    vgg_sd = {}
+    for li, (cout, cin) in zip(feat_idx, plan):
+        vgg_sd[f"features.{li}.weight"] = torch.from_numpy(
+            rng.standard_normal((cout, cin, 3, 3)).astype(np.float32) * 0.01)
+        vgg_sd[f"features.{li}.bias"] = torch.zeros(cout)
+    lin_sd = {}
+    for i, c in enumerate([64, 128, 256, 512, 512]):
+        lin_sd[f"lin{i}.model.1.weight"] = torch.from_numpy(
+            rng.random((1, c, 1, 1)).astype(np.float32))
+    torch.save(vgg_sd, tmp_path / "vgg16.pth")
+    torch.save(lin_sd, tmp_path / "lin.pth")
+
+    params = image_metrics.LpipsVGG.from_torch_files(
+        tmp_path / "vgg16.pth", tmp_path / "lin.pth")
+    x = rng.random((32, 32, 3)).astype(np.float32)
+    y = rng.random((32, 32, 3)).astype(np.float32)
+    d = float(image_metrics.lpips_pair(params, x, y))
+    assert np.isfinite(d) and d >= 0
+    assert float(image_metrics.lpips_pair(params, x, x)) < 1e-8

@@ -276,3 +276,18 @@ def test_bf16_inference_close_to_f32(tiny_model):
     assert d.max() < 0.5, d.max()
     # outputs are f32 regardless
     assert p16.pred_i.dtype == np.float32
+
+
+def test_load_checkpoint_from_torch_file(tmp_path):
+    """Full load path: torch.save'd {'model': state_dict} -> JAX tree."""
+    import torch
+
+    sd = _fake_torch_sd(TINY)
+    t_sd = {k: torch.from_numpy(v) for k, v in sd.items()}
+    path = tmp_path / "ckpt.pth"
+    torch.save({"model": t_sd, "args": "AsymmetricMASt3R(...)"}, path)
+    params = mast3r.load_checkpoint(path, TINY)
+    rng = np.random.default_rng(5)
+    img = rng.random((1, 32, 32, 3)).astype(np.float32)
+    r1, _ = mast3r.forward_pair(params, TINY, img, img)
+    assert np.isfinite(np.asarray(r1["pts3d"])).all()
