@@ -168,28 +168,44 @@ def render_set_optimize(
     return np.stack(refined)
 
 
-def save_interpolated_poses(model_path, iteration, n_views):
-    """render.py:36-57: spline path over the optimized poses -> npy."""
+def save_interpolated_poses(model_path, iteration, n_views, seconds=10,
+                            fps=30):
+    """render.py:36-57: spline path over the optimized poses -> npy (plus
+    the pose visualizations the reference writes alongside)."""
     pdir = Path(model_path) / "pose" / f"ours_{iteration}"
     org = np.load(pdir / "pose_optimized.npy")
-    inter = camera_paths.video_path_from_train_poses(org, n_views)
+    inter = camera_paths.video_path_from_train_poses(
+        org, n_views, seconds=seconds, fps=fps)
     np.save(pdir / "pose_interpolated.npy", inter)
+    try:
+        from instantsplat_tpu.eval.pose_viz import visualize_cameras
+
+        visualize_cameras(org, ["green"] * len(org),
+                          pdir / "poses_optimized.png")
+        visualize_cameras(inter, ["blue"] * len(inter),
+                          pdir / "poses_interpolated.png")
+    except Exception as e:
+        print(f"[render] pose viz skipped: {e}")
     return inter
 
 
 def frames_to_video(frame_dir, out_path, fps=30):
-    """mp4 from frames (render.py:60-76); gated on imageio availability."""
+    """mp4 from frames (render.py:60-76); degrades gracefully when no
+    video encoder is available (e.g. imageio without the ffmpeg plugin):
+    the frames remain on disk either way."""
     try:
         import imageio
-    except ImportError:
-        print("[render] imageio unavailable: frames left in", frame_dir)
+
+        frames = [
+            imageio.imread(p)
+            for p in sorted(Path(frame_dir).glob("*.png"))
+        ]
+        imageio.mimwrite(out_path, frames, fps=fps)
+        return True
+    except Exception as e:
+        print(f"[render] video encode unavailable ({e}); "
+              f"frames left in {frame_dir}")
         return False
-    frames = [
-        imageio.imread(p)
-        for p in sorted(Path(frame_dir).glob("*.png"))
-    ]
-    imageio.mimwrite(out_path, frames, fps=fps)
-    return True
 
 
 def run_render(
@@ -201,6 +217,7 @@ def run_render(
     optim_test_pose_iter=500,
     test_fps=True,
     backend="pallas",
+    video_seconds=10,
 ):
     """Full render_sets flow (render.py:189-248)."""
     model_path = Path(model.model_path)
@@ -230,7 +247,8 @@ def run_render(
             num_iter=optim_test_pose_iter, test_fps=test_fps)
 
     if infer_video:
-        inter = save_interpolated_poses(model_path, iteration, model.n_views)
+        inter = save_interpolated_poses(
+            model_path, iteration, model.n_views, seconds=video_seconds)
         cam0 = train_info.cameras[0]
         cams = [cam0.replace(image=None) for _ in range(len(inter))]
         out_dir = render_view_set(

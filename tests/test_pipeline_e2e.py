@@ -165,3 +165,44 @@ def test_full_pipeline(tmp_path):
     assert (out_dir / "results.json").exists()
     assert (out_dir / "per_view.json").exists()
     assert (out_dir / "pose" / "ours_40" / "pose_eval.txt").exists()
+
+
+@pytest.mark.slow
+def test_infer_video_branch(tmp_path):
+    """init(oracle) -> short train -> interpolated video frames + mp4."""
+    scene_dir = tmp_path / "scene"
+    out_dir = tmp_path / "out"
+    (scene_dir / "images").mkdir(parents=True)
+    c2ws, pts_world, pts_cam, images = _scene_geometry()
+    for v in range(N_IMAGES):
+        image_io.save_image(scene_dir / "images" / f"frame_{v:04d}.png",
+                            images[v])
+    files = [f"frame_{v:04d}.png" for v in range(N_IMAGES)]
+    _, _, train_idx, _ = scene_io.split_train_test(files, N_VIEWS)
+
+    from instantsplat_tpu.pipelines.init_geo_pipeline import run_init_geo
+    from instantsplat_tpu.pipelines.config import ModelParams
+    from instantsplat_tpu.pipelines.train_pipeline import run_training
+    from instantsplat_tpu.pipelines.trainer import TrainerConfig
+    from instantsplat_tpu.pipelines.render_pipeline import run_render
+    from instantsplat_tpu.opt.gaussian_opt import OptimizationConfig
+
+    run_init_geo(
+        scene_dir, out_dir,
+        _oracle_pointmap_fn(c2ws, pts_world, pts_cam, train_idx),
+        n_views=N_VIEWS, image_size=max(H, W), niter=20,
+        focal_avg=True, depth_thre=0.0,
+    )
+    model = ModelParams(source_path=str(scene_dir),
+                        model_path=str(out_dir), n_views=N_VIEWS)
+    run_training(model, OptimizationConfig(optim_pose=True),
+                 TrainerConfig(iterations=20, backend="oracle",
+                               log_every=20))
+    run_render(model, iteration=-1, skip_train=True, skip_test=True,
+               infer_video=True, backend="oracle", video_seconds=0.2)
+    frames = list((out_dir / "interp" / "ours_20" / "renders").glob("*.png"))
+    # n_interp = int(0.2 * 30 / 3) = 2 per gap * 2 gaps + final = 5
+    assert len(frames) >= 3
+    assert (out_dir / "pose" / "ours_20" / "pose_interpolated.npy").exists()
+    assert (out_dir / "pose" / "ours_20" / "poses_optimized.png").exists()
+    # mp4 written when an encoder is available; frames always remain
