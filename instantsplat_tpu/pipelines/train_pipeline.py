@@ -241,3 +241,62 @@ def load_trained(model_path, iteration, sh_degree=3, cam_poses=None):
         model_path / "point_cloud" / f"iteration_{iteration}"
         / "point_cloud.ply", max_sh_degree=sh_degree, cam_poses=cam_poses)
     return params, iteration
+
+
+# ---------------------------------------------------------------------------
+# orbax checkpointing (sharded/async-capable backend for multi-host runs;
+# the npz functions above remain the dependency-free default)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(path, params: GaussianModel, opt_state, iteration):
+    """Orbax StandardCheckpointer save of the full training state. Unlike
+    the npz writer this handles jax.sharding-distributed arrays (each host
+    writes its shards) — the right backend once training runs on a pod
+    slice."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    state = dict(
+        params={f.name: getattr(params, f.name)
+                for f in dataclasses.fields(GaussianModel)
+                if not f.metadata.get("static")},
+        m={f.name: getattr(opt_state.m, f.name)
+           for f in dataclasses.fields(GaussianModel)
+           if not f.metadata.get("static")},
+        v={f.name: getattr(opt_state.v, f.name)
+           for f in dataclasses.fields(GaussianModel)
+           if not f.metadata.get("static")},
+        step=opt_state.step,
+        iteration=np.asarray(iteration),
+        max_sh_degree=np.asarray(params.max_sh_degree),
+    )
+    if opt_state.per_point_lr is not None:
+        state["per_point_lr"] = opt_state.per_point_lr
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state)
+
+
+def load_checkpoint_orbax(path):
+    """-> (params, AdamState, iteration)."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from instantsplat_tpu.opt.gaussian_opt import AdamState
+
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(Path(path).absolute())
+    d = int(state["max_sh_degree"])
+
+    def build(tree):
+        return GaussianModel(max_sh_degree=d, **{
+            k: jnp.asarray(v) for k, v in tree.items()})
+
+    opt_state = AdamState(
+        m=build(state["m"]),
+        v=build(state["v"]),
+        step=jnp.asarray(state["step"]),
+        per_point_lr=(jnp.asarray(state["per_point_lr"])
+                      if "per_point_lr" in state else None),
+    )
+    return build(state["params"]), opt_state, int(state["iteration"])

@@ -175,3 +175,42 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     np.testing.assert_allclose(s3.m.scaling, state2.m.scaling)
     np.testing.assert_allclose(s3.per_point_lr, state2.per_point_lr)
     assert int(s3.step) == int(state2.step)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instantsplat_tpu.models.gaussians import GaussianModel
+    from instantsplat_tpu.opt.gaussian_opt import (
+        GaussianOptimizer,
+        OptimizationConfig,
+    )
+    from instantsplat_tpu.pipelines.train_pipeline import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 30
+    params = GaussianModel(
+        xyz=jnp.asarray(rng.standard_normal((n, 3)), jnp.float32),
+        features_dc=jnp.asarray(rng.standard_normal((n, 1, 3)), jnp.float32),
+        features_rest=jnp.zeros((n, 15, 3), jnp.float32),
+        scaling=jnp.asarray(rng.standard_normal((n, 3)), jnp.float32),
+        rotation=jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0),
+        opacity=jnp.zeros((n, 1), jnp.float32),
+        cam_poses=jnp.asarray(rng.standard_normal((2, 7)), jnp.float32),
+    )
+    opt = GaussianOptimizer(OptimizationConfig())
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    params, state = opt.step(params, grads, state, jnp.int32(1))
+
+    save_checkpoint_orbax(tmp_path / "ck_orbax", params, state, 77)
+    p2, s2, it = load_checkpoint_orbax(tmp_path / "ck_orbax")
+    assert it == 77
+    np.testing.assert_allclose(p2.xyz, params.xyz)
+    np.testing.assert_allclose(s2.v.opacity, state.v.opacity)
+    assert int(s2.step) == 1
