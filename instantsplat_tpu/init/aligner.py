@@ -75,13 +75,14 @@ class PairPrediction:
 
 
 def _pose7_to_c2w_np(p):
-    from instantsplat_tpu.utils import transforms as T
-    import jax.numpy as jnp
+    # pure numpy: tiny per-pose 3x3 math must never dispatch to the device
+    # (one jit compile of a 3x3 helper costs minutes over the dev tunnel).
+    from instantsplat_tpu.data.colmap import qvec_to_rotmat
 
     q = np.asarray(p[:4], np.float64)
     q = q / np.linalg.norm(q)
     m = np.eye(4)
-    m[:3, :3] = np.asarray(T.quat_to_rotmat(jnp.asarray(q, jnp.float32)))
+    m[:3, :3] = qvec_to_rotmat(q)
     m[:3, 3] = G.signed_expm1(np.asarray(p[4:7], np.float64))
     return m
 
@@ -147,10 +148,11 @@ class GlobalAligner:
         }
 
     def _set_pose(self, arr, idx, R, T, scale=None):
-        from instantsplat_tpu.utils import transforms as T_
-        import jax.numpy as jnp
+        # numpy quaternion conversion (same wxyz convention as transforms):
+        # keeps the per-edge MST walk off the device entirely.
+        from instantsplat_tpu.data.colmap import rotmat_to_qvec
 
-        q = np.asarray(T_.rotmat_to_quat(jnp.asarray(R, jnp.float32)))
+        q = rotmat_to_qvec(np.asarray(R, np.float64))
         arr[idx, 0:4] = q
         # translation stored divided by scale (base_opt.py:172): the decode
         # multiplies the whole [:3] rows — rotation AND translation — by the
