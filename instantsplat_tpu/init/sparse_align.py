@@ -148,11 +148,13 @@ def sparse_global_alignment(preds, matches=None, subsample=8, niter=200,
     params[0] = [1, 0, 0, 0, 0, 0, 0, 0]  # gauge anchor
     c2w = []
     scales = np.exp(params[:, 7])
+    from instantsplat_tpu.data.colmap import qvec_to_rotmat
+
     for k in range(v):
         q = params[k, :4] / np.linalg.norm(params[k, :4])
-        import jax.numpy as jnp2
-
-        Rk = np.asarray(T.quat_to_rotmat(jnp2.asarray(q, jnp2.float32)))
+        # numpy: per-view eager jnp would dispatch tiny ops to the device
+        # (see transforms.matrix_to_pose_np docstring)
+        Rk = qvec_to_rotmat(q)
         m = np.eye(4)
         m[:3, :3] = Rk
         m[:3, 3] = G.signed_expm1(params[k, 4:7].astype(np.float64))

@@ -78,7 +78,9 @@ class Camera:
         M = np.eye(4, dtype=np.float32)
         M[:3, :3] = np.asarray(R, np.float32)
         M[:3, 3] = np.asarray(t, np.float32)
-        pose = T.matrix_to_pose(jnp.asarray(M))
+        # numpy conversion: per-camera eager jnp here would pay a slow
+        # tiny-op compile series over a remote-device tunnel at scene load.
+        pose = jnp.asarray(T.matrix_to_pose_np(M))
         return cls(
             pose=pose,
             fx=jnp.float32(fx),

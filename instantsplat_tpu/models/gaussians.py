@@ -152,5 +152,6 @@ class GaussianModel:
     def init_cam_poses_from_w2c(cls, w2c_list) -> jax.Array:
         """[V,4,4] (or list) world-to-camera matrices -> [V,7] pose params
         (reference init_RT_seq, scene/gaussian_model.py:126-132)."""
-        M = jnp.asarray(np.stack([np.asarray(m) for m in w2c_list]), jnp.float32)
-        return T.matrix_to_pose(M)
+        M = np.stack([np.asarray(m) for m in w2c_list])
+        # host-side conversion (see transforms.matrix_to_pose_np docstring)
+        return jnp.asarray(T.matrix_to_pose_np(M))

@@ -32,7 +32,14 @@ def read_render_pairs(method_dir):
 
 def evaluate_images(method_dir, lpips_params=None):
     """-> (summary dict, per-view dict); writes metrics.txt."""
+    import jax
     import jax.numpy as jnp
+
+    # one jit for the per-view metric pair: eager ssim/psnr would compile
+    # each constituent op separately, which is pathologically slow over a
+    # remote-device tunnel (see init/aligner.py _set_pose note).
+    ssim_psnr = jax.jit(
+        lambda r, g: (image_metrics.ssim(r, g), image_metrics.psnr(r, g)))
 
     renders, gts, names = read_render_pairs(method_dir)
     ssims, psnrs, lpipss = [], [], []
@@ -41,8 +48,8 @@ def evaluate_images(method_dir, lpips_params=None):
     with open(Path(method_dir) / "metrics.txt", "w") as out_f:
         for idx, (r, g, name) in enumerate(zip(renders, gts, names)):
             r_j, g_j = jnp.asarray(r), jnp.asarray(g)
-            s = float(image_metrics.ssim(r_j, g_j))
-            p = float(image_metrics.psnr(r_j, g_j))
+            s_j, p_j = ssim_psnr(r_j, g_j)
+            s, p = float(s_j), float(p_j)
             l = (float(image_metrics.lpips(r_j, g_j, lpips_params))
                  if have_lpips else None)
             ssims.append(s)

@@ -35,9 +35,7 @@ from instantsplat_tpu.utils import transforms as T
 
 
 def _w2c_to_pose7(mats):
-    import jax.numpy as jnp
-
-    return np.asarray(T.matrix_to_pose(jnp.asarray(mats, jnp.float32)))
+    return T.matrix_to_pose_np(mats)
 
 
 def render_view_set(

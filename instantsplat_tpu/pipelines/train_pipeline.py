@@ -36,10 +36,9 @@ from instantsplat_tpu.utils import transforms as T
 
 def poses_7_to_w2c(pose7):
     """[V,7] quat+trans params -> [V,4,4] w2c (reference save_pose,
-    train.py:44-60 via get_camera_from_tensor)."""
-    import jax.numpy as jnp
-
-    return np.asarray(T.pose_to_matrix(jnp.asarray(pose7, jnp.float32)))
+    train.py:44-60 via get_camera_from_tensor). Host-side numpy
+    (see transforms.matrix_to_pose_np docstring)."""
+    return T.pose_to_matrix_np(np.asarray(pose7))
 
 
 def save_checkpoint(path, params: GaussianModel, opt_state, iteration):

@@ -140,6 +140,46 @@ def matrix_to_pose(M: Array) -> Array:
     return jnp.concatenate([q, t], axis=-1)
 
 
+def pose_to_matrix_np(pose) -> "np.ndarray":
+    """Numpy `pose_to_matrix` for host-side paths (see matrix_to_pose_np)."""
+    import numpy as np
+
+    from instantsplat_tpu.data.colmap import qvec_to_rotmat
+
+    pose = np.asarray(pose, np.float64)
+    batch = pose.shape[:-1]
+    flat = pose.reshape(-1, 7)
+    out = np.tile(np.eye(4, dtype=np.float32), (flat.shape[0], 1, 1))
+    for k in range(flat.shape[0]):
+        q = flat[k, :4]
+        out[k, :3, :3] = qvec_to_rotmat(q / np.linalg.norm(q))
+        out[k, :3, 3] = flat[k, 4:7]
+    return out.reshape(*batch, 4, 4)
+
+
+def matrix_to_pose_np(M) -> "np.ndarray":
+    """Numpy `matrix_to_pose` for host-side (scene-loading) paths.
+
+    Eager jnp ops on tiny inputs compile each op separately, which is
+    pathologically slow over a remote-device tunnel (minutes for a 3x3
+    helper) — host code must stay off the device. Quaternion sign may
+    differ from `matrix_to_pose` (w >= 0 here); every consumer
+    (quat_to_rotmat, pose optimization, pose IO) is sign-invariant.
+    """
+    import numpy as np
+
+    from instantsplat_tpu.data.colmap import rotmat_to_qvec
+
+    M = np.asarray(M, np.float64)
+    batch = M.shape[:-2]
+    flat = M.reshape(-1, 4, 4)
+    out = np.empty((flat.shape[0], 7), np.float32)
+    for k in range(flat.shape[0]):
+        out[k, :4] = rotmat_to_qvec(flat[k, :3, :3])
+        out[k, 4:7] = flat[k, :3, 3]
+    return out.reshape(*batch, 7)
+
+
 def se3_inverse(M: Array) -> Array:
     """Invert rigid transform(s) [..., 4, 4] without a general solve."""
     R = M[..., :3, :3]
