@@ -102,3 +102,47 @@ def test_rotmat_to_quat_grad_finite():
 
     g = jax.grad(f)(jnp.eye(3))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_numpy_pose_matrix_roundtrip_matches_jax():
+    """matrix_to_pose_np / pose_to_matrix_np (host-side converters) agree
+    with the jax pair up to quaternion sign, including 180-degree
+    (negative-trace) rotations, and round-trip exactly."""
+    rng = np.random.default_rng(0)
+    qs = rng.standard_normal((32, 4))
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    # append hard cases: identity + axis-aligned 180-degree rotations
+    qs = np.concatenate([qs, np.array([
+        [1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1],
+    ], np.float64)])
+    M = np.asarray(T.pose_to_matrix(jnp.asarray(
+        np.concatenate([qs, rng.standard_normal((len(qs), 3))], 1),
+        jnp.float32)))
+
+    pose_np = T.matrix_to_pose_np(M)
+    # rotation must round-trip through the numpy pair exactly
+    M2 = T.pose_to_matrix_np(pose_np)
+    np.testing.assert_allclose(M2, M, atol=1e-5)
+    # and agree with the jax encoder up to quaternion sign
+    pose_jax = np.asarray(T.matrix_to_pose(jnp.asarray(M)))
+    sign = np.where(
+        np.sum(pose_np[:, :4] * pose_jax[:, :4], 1, keepdims=True) < 0,
+        -1.0, 1.0)
+    np.testing.assert_allclose(pose_np[:, :4], sign * pose_jax[:, :4],
+                               atol=1e-4)
+    np.testing.assert_allclose(pose_np[:, 4:], pose_jax[:, 4:], atol=1e-5)
+    # w >= 0 canonical form (COLMAP convention)
+    assert (pose_np[:, 0] >= 0).all()
+
+
+def test_numpy_pose_matrix_batched_shapes():
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal(4)
+    q /= np.linalg.norm(q)
+    pose = np.concatenate([q, [0.5, -1.0, 2.0]]).astype(np.float32)
+    batch = np.broadcast_to(pose, (2, 3, 7))
+    M = T.pose_to_matrix_np(batch)
+    assert M.shape == (2, 3, 4, 4)
+    back = T.matrix_to_pose_np(M)
+    assert back.shape == (2, 3, 7)
+    np.testing.assert_allclose(np.abs(back[..., 0]), abs(pose[0]), atol=1e-5)
