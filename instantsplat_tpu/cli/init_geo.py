@@ -17,6 +17,9 @@ from argparse import ArgumentParser
 
 
 def main(argv=None):
+    from instantsplat_tpu.parallel import initialize_runtime
+
+    initialize_runtime()  # no-op single-process; wires jax.distributed on pods
     parser = ArgumentParser(description="geometry initialization")
     parser.add_argument("--source_path", "-s", required=True)
     parser.add_argument("--model_path", "-m", required=True)

@@ -13,6 +13,9 @@ from instantsplat_tpu.pipelines.metrics_pipeline import run_metrics
 
 
 def main(argv=None):
+    from instantsplat_tpu.parallel import initialize_runtime
+
+    initialize_runtime()  # no-op single-process; wires jax.distributed on pods
     parser = ArgumentParser(description="evaluate renders + poses")
     parser.add_argument("--model_paths", "-m", nargs="+", required=True)
     parser.add_argument("--source_path", "-s", type=str, default=None)

@@ -15,6 +15,9 @@ from instantsplat_tpu.pipelines.render_pipeline import run_render
 
 
 def main(argv=None):
+    from instantsplat_tpu.parallel import initialize_runtime
+
+    initialize_runtime()  # no-op single-process; wires jax.distributed on pods
     parser = ArgumentParser(description="render trained scene")
     C.add_group(parser, C.ModelParams,
                 abbrevs={"source_path": "s", "model_path": "m"})

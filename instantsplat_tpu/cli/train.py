@@ -16,6 +16,9 @@ from instantsplat_tpu.pipelines.trainer import TrainerConfig
 
 
 def main(argv=None):
+    from instantsplat_tpu.parallel import initialize_runtime
+
+    initialize_runtime()  # no-op single-process; wires jax.distributed on pods
     parser = ArgumentParser(description="joint Gaussian+pose training")
     C.add_group(parser, C.ModelParams,
                 abbrevs={"source_path": "s", "model_path": "m"})

@@ -1,3 +1,8 @@
+from instantsplat_tpu.parallel.runtime import (  # noqa: F401
+    initialize_runtime,
+    make_hybrid_mesh,
+    make_mesh_nd,
+)
 from instantsplat_tpu.parallel.sharding import (  # noqa: F401
     make_mesh,
     make_sharded_train_step,

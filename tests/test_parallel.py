@@ -145,3 +145,46 @@ def test_aligner_mesh_sharded_matches_single():
     assert abs(l1 - l2) < 1e-5, (l1, l2)
     np.testing.assert_allclose(a1.get_im_poses(), a2.get_im_poses(),
                                atol=1e-4)
+
+
+def test_runtime_initialize_noop_single_process(monkeypatch):
+    from instantsplat_tpu.parallel import initialize_runtime
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize_runtime() is False  # single-process: no-op
+
+
+def test_mesh_nd_2d_collectives():
+    """2-D ("data","rows") mesh: psum over each axis independently."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from instantsplat_tpu.parallel import make_mesh_nd
+
+    mesh = make_mesh_nd((4, 2), ("data", "rows"))
+    assert mesh.shape == {"data": 4, "rows": 2}
+
+    x = jnp.arange(8.0).reshape(4, 2)
+
+    @partial(shard_map, mesh=mesh, in_specs=P("data", "rows"),
+             out_specs=P("data", "rows"))
+    def f(blk):
+        return (jax.lax.psum(blk, "rows")
+                + jax.lax.psum(blk, "data"))
+
+    out = f(x)
+    expected = x.sum(1, keepdims=True) + x.sum(0, keepdims=True)
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+def test_mesh_nd_too_many_devices():
+    import pytest
+
+    from instantsplat_tpu.parallel import make_mesh_nd
+
+    with pytest.raises(ValueError, match="needs 16 devices"):
+        make_mesh_nd((4, 4), ("data", "rows"))
