@@ -49,6 +49,10 @@ class TrainerConfig:
     sh_up_interval: int = 1000  # reference train.py:148-149
     seed: int = 0
     log_every: int = 100
+    # Fuse log_every iterations into one lax.scan dispatch (identical math;
+    # removes per-iteration host round-trips). Disabled automatically when a
+    # live viewer needs per-iteration polling.
+    scan: bool = True
 
 
 def make_train_step(
@@ -97,6 +101,67 @@ def make_train_step(
     return train_step
 
 
+def make_train_scan(
+    optimizer: GaussianOptimizer,
+    cameras: Camera,  # batched [V, ...] pytree
+    bg: jax.Array,
+    lambda_dssim: float,
+    backend: str,
+    chunk: int,
+):
+    """Build a jitted k-iteration training block: one XLA dispatch runs k
+    (render -> loss -> grad -> Adam) steps via lax.scan.
+
+    The reference's loop (train.py:124-211) dispatches CUDA work per
+    iteration from python; on TPU a scanned block removes the per-iteration
+    host round-trip entirely (and on the axon dev tunnel, the per-dispatch
+    latency — CLAUDE.md timing notes). Per-iteration semantics are
+    preserved exactly: the LR schedules see the true iteration number
+    (carried in the scanned xs), and view indices are precomputed host-side
+    with the same random-without-replacement policy. `active_sh` is static
+    per block, so callers must split blocks at sh_up_interval boundaries
+    (train_joint does; the ramp only changes every 1000 iterations).
+    """
+
+    # No donation for the same aliasing reason as make_train_step.
+    @functools.partial(jax.jit, static_argnames=("active_sh",))
+    def train_block(
+        params: GaussianModel,
+        opt_state: AdamState,
+        view_ids,  # [k] int32
+        iterations,  # [k] int32 (true iteration numbers)
+        active_sh: int,
+    ):
+        def body(carry, x):
+            p, s = carry
+            view_idx, it = x
+            cam = jax.tree.map(lambda c: c[view_idx], cameras)
+
+            def loss_fn(pp: GaussianModel):
+                pose = pp.get_pose(view_idx)
+                out = render(
+                    pp, cam, pose=pose, bg=bg, active_sh_degree=active_sh,
+                    chunk=chunk, backend=backend,
+                )
+                loss, aux = photometric_loss(out.render, cam.image,
+                                             lambda_dssim)
+                aux["psnr"] = psnr(out.render, cam.image)
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            p, s = optimizer.step(p, grads, s, it)
+            return (p, s), dict(loss=loss, **aux)
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), (view_ids, iterations)
+        )
+        # last-iteration metrics (what the per-step API would report)
+        metrics = jax.tree.map(lambda x: x[-1], metrics)
+        return params, opt_state, metrics
+
+    return train_block
+
+
 def train_joint(
     params: GaussianModel,
     cameras: list[Camera],
@@ -131,33 +196,71 @@ def train_joint(
     if opt_state is None:
         opt_state = optimizer.init(params, confidence_lr=confidence_lr)
 
+    rng = np.random.RandomState(trainer_cfg.seed)
+    queue: list[int] = []
+
+    def next_view() -> int:
+        nonlocal queue
+        if not queue:
+            queue = list(rng.permutation(n_views))
+        return int(queue.pop())
+
+    history = []
+    t0 = time.time()
+
+    def log(it, metrics):
+        m = {k: float(v) for k, v in metrics.items()}
+        m["elapsed_s"] = time.time() - t0
+        history.append((it, m))
+        if live_ref is not None:
+            live_ref[0] = params  # expose latest params to callbacks
+        if progress_cb is not None:
+            progress_cb(it, m)
+
+    use_scan = trainer_cfg.scan and viewer is None
+    if use_scan:
+        block_fn = make_train_scan(
+            optimizer, stacked, bg, opt_cfg.lambda_dssim,
+            trainer_cfg.backend, trainer_cfg.chunk,
+        )
+        it = first_iter + 1
+        while it <= trainer_cfg.iterations:
+            interval = trainer_cfg.sh_up_interval
+            active_sh = min(it // interval, params.max_sh_degree)
+            # Block ends at the next log boundary, but never crosses an
+            # SH-ramp boundary (active_sh is static inside the block).
+            end = min(
+                trainer_cfg.iterations,
+                ((it - 1) // trainer_cfg.log_every + 1) * trainer_cfg.log_every,
+            )
+            if it // interval < params.max_sh_degree:
+                end = min(end, (it // interval + 1) * interval - 1)
+            view_ids = np.array([next_view() for _ in range(it, end + 1)],
+                                np.int32)
+            iters = np.arange(it, end + 1, dtype=np.int32)
+            params, opt_state, metrics = block_fn(
+                params, opt_state, jnp.asarray(view_ids), jnp.asarray(iters),
+                active_sh,
+            )
+            if end % trainer_cfg.log_every == 0 or end == trainer_cfg.iterations:
+                log(end, metrics)
+            it = end + 1
+        return params, opt_state, history
+
     step_fn = make_train_step(
         optimizer, stacked, bg, opt_cfg.lambda_dssim, trainer_cfg.backend,
         trainer_cfg.chunk,
     )
-
-    rng = np.random.RandomState(trainer_cfg.seed)
-    queue: list[int] = []
-    history = []
-    t0 = time.time()
     for it in range(first_iter + 1, trainer_cfg.iterations + 1):
         if viewer is not None:
             _serve_viewer(viewer, params, trainer_cfg)
-        if not queue:
-            queue = list(rng.permutation(n_views))
-        view_idx = int(queue.pop())
+        view_idx = next_view()
         active_sh = min(it // trainer_cfg.sh_up_interval, params.max_sh_degree)
         params, opt_state, metrics = step_fn(
             params, opt_state, jnp.int32(view_idx), jnp.int32(it), active_sh
         )
         if it % trainer_cfg.log_every == 0 or it == trainer_cfg.iterations:
-            m = {k: float(v) for k, v in metrics.items()}
-            m["elapsed_s"] = time.time() - t0
-            history.append((it, m))
-            if live_ref is not None:
-                live_ref[0] = params  # expose latest params to callbacks
-            if progress_cb is not None:
-                progress_cb(it, m)
+            log(it, metrics)
     return params, opt_state, history
 
 

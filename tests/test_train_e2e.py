@@ -135,6 +135,53 @@ def test_per_point_optimizer_runs_and_converges():
     assert float(jnp.std(opt_state.per_point_lr)) > 0
 
 
+def test_scan_block_matches_per_step():
+    """The lax.scan-fused training block is bit-for-bit the per-step loop.
+
+    Exercises log-boundary splits AND an SH-ramp boundary inside the run
+    (sh_up_interval=10 with a degree-1 model) so the block splitter is
+    covered."""
+    gt_model, cams, true_poses = build_synthetic(n_gauss=120, size=24, seed=3)
+    # re-make with SH degree 1 so the ramp boundary matters
+    init = GaussianModel.create_from_pcd(
+        gt_model.xyz, jnp.clip(gt_model.features_dc[:, 0] * 0.28 + 0.5, 0, 1),
+        cam_poses=true_poses, max_sh_degree=1,
+    ).replace(opacity=jnp.zeros((120, 1)))
+
+    kwargs = dict(
+        opt_cfg=OptimizationConfig(optim_pose=True),
+        spatial_lr_scale=1.0,
+    )
+    cfg = dict(iterations=25, chunk=64, log_every=5, sh_up_interval=10)
+    p_step, _, h_step = train_joint(
+        init, cams, trainer_cfg=TrainerConfig(scan=False, **cfg), **kwargs
+    )
+    p_scan, _, h_scan = train_joint(
+        init, cams, trainer_cfg=TrainerConfig(scan=True, **cfg), **kwargs
+    )
+    # Same math, different XLA fusions => float-associativity drift only.
+    # Per-point Adam normalizes near-zero grads to full-LR steps, so
+    # associativity noise can flip a ~1e-12 grad's sign and random-walk the
+    # unconstrained DOF of INVISIBLE gaussians (their rotations especially)
+    # by lr-sized steps — element-wise comparison of those leaves is
+    # fundamentally fragile. Structural errors (wrong view order, LR
+    # schedule, SH boundary) instead move the OBSERVABLES: compare the
+    # loss trajectory, the well-conditioned leaves, and the renders.
+    assert [it for it, _ in h_step] == [it for it, _ in h_scan]
+    for (_, ms), (_, mc) in zip(h_step, h_scan):
+        np.testing.assert_allclose(ms["loss"], mc["loss"], rtol=1e-3)
+    np.testing.assert_allclose(p_step.cam_poses, p_scan.cam_poses,
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(p_step.xyz, p_scan.xyz, atol=1e-3)
+    for i, c in enumerate(cams):
+        img_a = np.asarray(render(p_step, c, pose=p_step.get_pose(i),
+                                  chunk=64).render)
+        img_b = np.asarray(render(p_scan, c, pose=p_scan.get_pose(i),
+                                  chunk=64).render)
+        assert np.max(np.abs(img_a - img_b)) < 5e-3, (
+            f"view {i}: {np.max(np.abs(img_a - img_b))}")
+
+
 def test_checkpoint_resume_roundtrip(tmp_path):
     """save_checkpoint/load_checkpoint restore params + optimizer state."""
     import jax.numpy as jnp
