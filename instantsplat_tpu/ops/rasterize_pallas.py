@@ -147,6 +147,7 @@ def _fwd_kernel(
     logt_ref,  # scratch [n_rb, P] log transmittance carry
     done_ref,  # scratch [n_rb, P] f32 0/1 latched termination
     rowdone_ref,  # scratch SMEM [n_rb] int32
+    ndone_ref,  # scratch SMEM [1] int32: #row blocks fully terminated
 ):
     c = pl.program_id(0)
     n_chunks = pl.num_programs(0)
@@ -162,6 +163,7 @@ def _fwd_kernel(
         done_ref[:] = jnp.zeros_like(done_ref)
         for i in range(n_rb):
             rowdone_ref[i] = 0
+        ndone_ref[0] = 0
 
     blk = gauss_ref[:]
     tri = _tri(g)
@@ -208,11 +210,20 @@ def _fwd_kernel(
             fired = (hit & (logt_post < _LOG_TERM)).astype(jnp.float32)
             new_done = jnp.maximum(done_row, jnp.max(fired, 0, keepdims=True))
             done_ref[pl.ds(rb, 1), :] = new_done
-            rowdone_ref[rb] = jnp.min(new_done).astype(jnp.int32)
+            rd = jnp.min(new_done).astype(jnp.int32)
+            rowdone_ref[rb] = rd
+            ndone_ref[0] = ndone_ref[0] + rd  # rd=1 only on the 0->1
+            # transition: once set, the (rowdone == 0) guard above keeps
+            # this branch from ever running again for this row block.
 
         return 0
 
-    jax.lax.fori_loop(0, n_rb, row_block, 0)
+    # Termination-dominated scenes saturate every row block within a few
+    # front chunks; the remaining ~O(n_chunks) grid steps must cost one
+    # SMEM compare, not an n_rb predicate loop.
+    @pl.when(ndone_ref[0] < n_rb)
+    def _work():
+        jax.lax.fori_loop(0, n_rb, row_block, 0)
 
     @pl.when(c == n_chunks - 1)
     def _final():
@@ -234,6 +245,8 @@ def _bwd_kernel(
     dgauss_ref,  # out [G, 16] — chunk n_chunks-1-c
     ss_ref,  # scratch [n_rb, P]: g4 . (suffix weighted color)
     logtr_ref,  # scratch [n_rb, P]: log T after current chunk
+    maxlc_ref,  # scratch SMEM [n_rb] int32: per-row-block max contributor
+    gmax_ref,  # scratch SMEM [1] int32: global max contributor
 ):
     c = pl.program_id(0)
     n_chunks = pl.num_programs(0)
@@ -246,6 +259,15 @@ def _bwd_kernel(
     def _init():
         ss_ref[:] = jnp.zeros_like(ss_ref)
         logtr_ref[:] = jnp.log(jnp.maximum(tfin_ref[:], 1e-30))
+        # One pass over lc: the per-(chunk, rb) contributor test must be an
+        # SMEM compare, not a VMEM row reduce — back-to-front, nearly all
+        # suffix chunks are past every row block's last contributor.
+        def mk(rb, gm):
+            m = jnp.max(lc_ref[pl.ds(rb, 1), :])
+            maxlc_ref[rb] = m
+            return jnp.maximum(gm, m)
+
+        gmax_ref[0] = jax.lax.fori_loop(0, n_rb, mk, jnp.int32(-1))
 
     blk = gauss_ref[:]
     tri = _tri(g)
@@ -256,11 +278,10 @@ def _bwd_kernel(
 
     def row_block(rb, _):
         active = ((bits_ref[rb, word] >> bit) & 1) == 1
-        lc_row = lc_ref[pl.ds(rb, 1), :]
-        has_contrib = jnp.max(lc_row) >= base
 
-        @pl.when(active & has_contrib)
+        @pl.when(active & (maxlc_ref[rb] >= base))
         def _():
+            lc_row = lc_ref[pl.ds(rb, 1), :]
             px, py = _pixel_coords(rb, n_pix, width)
             dx, dy, a_un, alpha = _falloff(blk, px, py)
             gidx = base + jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 0)
@@ -315,7 +336,9 @@ def _bwd_kernel(
 
         return 0
 
-    jax.lax.fori_loop(0, n_rb, row_block, 0)
+    @pl.when(gmax_ref[0] >= base)
+    def _work():
+        jax.lax.fori_loop(0, n_rb, row_block, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -362,21 +385,25 @@ def _row_block_bitmap(mean2d, conic, log_opacity, valid, y0, n_rows, n_chunks):
     n_rb = n_rows // BLOCK_ROWS
     rb_lo = jnp.clip(jnp.floor((y - r) / BLOCK_ROWS).astype(jnp.int32), 0, n_rb)
     rb_hi = jnp.clip(jnp.floor((y + r) / BLOCK_ROWS).astype(jnp.int32), -1, n_rb - 1)
-    # coverage counts via +1/-1 scatter at interval ends, cumsum over rows
+    # Per-chunk interval bound: chunk c covers [min rb_lo, max rb_hi] over
+    # its gaussians. A strict superset of the exact per-gaussian union, so
+    # never skips a contributor; computed with two [n_chunks, G] reductions
+    # instead of a 2N-update scatter (measured 2.7 ms of device time per
+    # forward — scatter is serialized on TPU). Depth-adjacent gaussians are
+    # spatially uncorrelated in the worst case (interval ~ whole image), but
+    # there the exact bitmap admitted ~everything too; skipping is then
+    # carried by the termination latch, not the bitmap.
     n = mean2d.shape[0]
     n_pad = _round_up(max(n, G_CHUNK), G_CHUNK)
-    cidx = jnp.arange(n_pad) // G_CHUNK
-    rb_lo = jnp.pad(rb_lo, (0, n_pad - n), constant_values=0)
-    rb_hi = jnp.pad(rb_hi, (0, n_pad - n), constant_values=-1)
     alive = rb_hi >= rb_lo
-    marks = jnp.zeros((n_chunks, n_rb + 1), jnp.int32)
-    marks = marks.at[cidx, jnp.where(alive, rb_lo, n_rb)].add(
-        jnp.where(alive, 1, 0)
-    )
-    marks = marks.at[cidx, jnp.where(alive, rb_hi + 1, n_rb)].add(
-        jnp.where(alive, -1, 0)
-    )
-    cover = jnp.cumsum(marks[:, :n_rb], axis=1) > 0  # [n_chunks, n_rb]
+    rb_lo = jnp.pad(jnp.where(alive, rb_lo, n_rb), (0, n_pad - n),
+                    constant_values=n_rb).reshape(n_chunks, G_CHUNK)
+    rb_hi = jnp.pad(jnp.where(alive, rb_hi, -1), (0, n_pad - n),
+                    constant_values=-1).reshape(n_chunks, G_CHUNK)
+    c_lo = jnp.min(rb_lo, axis=1)[:, None]  # [n_chunks, 1]
+    c_hi = jnp.max(rb_hi, axis=1)[:, None]
+    rbs = jnp.arange(n_rb)[None, :]
+    cover = (rbs >= c_lo) & (rbs <= c_hi)  # [n_chunks, n_rb]
     n_words = _round_up(n_chunks, 32) // 32
     pad_c = n_words * 32 - n_chunks
     cover = jnp.pad(cover, ((0, pad_c), (0, 0)))  # [n_words*32, n_rb]
@@ -434,6 +461,7 @@ def _composite_strip_fwd(
             pltpu.VMEM((n_rb, n_pix), jnp.float32),
             pltpu.VMEM((n_rb, n_pix), jnp.float32),
             pltpu.SMEM((n_rb,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     acc, tfin, lc = pl.pallas_call(
@@ -479,6 +507,8 @@ def _composite_strip_bwd(y0, n_rows, width, interpret, residuals, cots):
         scratch_shapes=[
             pltpu.VMEM((n_rb, n_pix), jnp.float32),
             pltpu.VMEM((n_rb, n_pix), jnp.float32),
+            pltpu.SMEM((n_rb,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     dgauss = pl.pallas_call(
