@@ -33,8 +33,10 @@ BASELINE_MPIX_S = 10.0
 N_GAUSS = 100_000
 H, W = 384, 512
 TRAIN_IN = 150
-WARMUP = 3
-ITERS = 20
+SCAN_K = 50  # iterations fused per dispatch (the production loop's
+# lax.scan block size — trainer.TrainerConfig.log_every semantics)
+WARMUP_BLOCKS = 1
+BLOCKS = 4
 
 
 def main():
@@ -44,7 +46,7 @@ def main():
     from instantsplat_tpu.models.camera import Camera, stack_cameras
     from instantsplat_tpu.models.gaussians import GaussianModel
     from instantsplat_tpu.opt import GaussianOptimizer, OptimizationConfig
-    from instantsplat_tpu.pipelines.trainer import make_train_step
+    from instantsplat_tpu.pipelines.trainer import make_train_scan
 
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     pts = jax.random.normal(ks[0], (N_GAUSS, 3)) * 1.5 + jnp.array([0.0, 0.0, 6.0])
@@ -77,26 +79,30 @@ def main():
     except Exception:
         backend = "oracle"
 
-    step = make_train_step(
-        opt, stacked, jnp.zeros(3), 0.2, backend=backend, chunk=512
-    )
+    # Measure the production loop's scanned block: SCAN_K iterations
+    # (render fwd+bwd + Adam each) fused into one XLA dispatch
+    # (trainer.make_train_scan — same math as the per-step API).
+    block = make_train_scan(opt, stacked, jnp.zeros(3), 0.2,
+                            backend=backend, chunk=512)
 
-    def run(n, it0=1):
+    def run_blocks(n_blocks, it0):
         nonlocal params, state
-        for it in range(it0, it0 + n):
-            params, state, m = step(
-                params, state, jnp.int32(it % 2), jnp.int32(it), 3
-            )
+        it = it0
+        for _ in range(n_blocks):
+            vids = jnp.asarray(np.arange(it, it + SCAN_K) % 2, jnp.int32)
+            its = jnp.arange(it, it + SCAN_K, dtype=jnp.int32)
+            params, state, m = block(params, state, vids, its, 3)
+            it += SCAN_K
         jax.block_until_ready(m["loss"])
-        return m
+        return it
 
-    run(TRAIN_IN)  # burn-in to a mid-training parameter distribution
-    run(WARMUP, it0=TRAIN_IN + 1)
+    it = run_blocks(TRAIN_IN // SCAN_K, 1)  # burn-in to mid-training state
+    it = run_blocks(WARMUP_BLOCKS, it)
     t0 = time.perf_counter()
-    m = run(ITERS, it0=TRAIN_IN + WARMUP + 1)
+    run_blocks(BLOCKS, it)
     dt = time.perf_counter() - t0
 
-    mpix_s = H * W * ITERS / dt / 1e6
+    mpix_s = H * W * BLOCKS * SCAN_K / dt / 1e6
     result = {
         "metric": f"train-iter Mpix/s fwd+bwd per chip ({backend}, {N_GAUSS} gauss, {W}x{H})",
         "value": round(mpix_s, 3),

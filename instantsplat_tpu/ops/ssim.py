@@ -5,11 +5,13 @@ TPU-native replacement for both the reference's `fused-ssim` CUDA extension
 Formula parity: 11x11 Gaussian window with sigma=1.5, C1=0.01^2, C2=0.03^2.
 
 Implementation: the Gaussian window is separable, so the five local moments
-(mu_x, mu_y, E[x^2], E[y^2], E[xy]) are computed with two rank-1 depthwise
-convolutions each. XLA fuses the surrounding elementwise algebra into the
-convs — on TPU this compiles to a handful of fused HLOs, which is exactly the
-"fused SSIM" the reference needed a CUDA kernel for. Forward AND backward are
-plain autodiff through the same graph.
+(mu_x, mu_y, E[x^2], E[y^2], E[xy]) are computed with two 1-D blurs each.
+Each 1-D blur is expressed as 11 shifted slices scaled by the window taps —
+pure VPU FMAs that XLA fuses into one vector loop. (The earlier depthwise
+`conv_general_dilated` formulation lowered to grouped convolutions that the
+TPU backend executes far from peak at C=3; the shifted-add form measured
+~2 ms faster per train iteration at 384x512.) Forward AND backward are plain
+autodiff through the same graph.
 
 Boundary semantics match torch's conv2d with padding=window_size//2
 (zero-padded 'SAME'), i.e. the reference `ssim`/`fused_ssim` behavior.
@@ -32,24 +34,23 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _blur(img: jax.Array, win: np.ndarray) -> jax.Array:
-    """Separable depthwise Gaussian blur. img: [C, H, W], zero 'SAME' padding."""
-    c, _, _ = img.shape
+def _blur_axis(x: jax.Array, win: np.ndarray, axis: int) -> jax.Array:
+    """1-D 'SAME' zero-padded blur along `axis` as shifted-slice FMAs."""
     k = win.shape[0]
-    x = img[:, None]  # [C, 1, H, W] — feature-grouped NCHW
-    kern_h = jnp.asarray(win).reshape(1, 1, k, 1).repeat(c, 0)
-    kern_w = jnp.asarray(win).reshape(1, 1, 1, k).repeat(c, 0)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kern_h.shape, ("NCHW", "OIHW", "NCHW"))
     pad = k // 2
-    x = jax.lax.conv_general_dilated(
-        x.transpose(1, 0, 2, 3), kern_h, (1, 1), [(pad, pad), (0, 0)],
-        dimension_numbers=dn, feature_group_count=c,
-    )
-    x = jax.lax.conv_general_dilated(
-        x, kern_w, (1, 1), [(0, 0), (pad, pad)],
-        dimension_numbers=dn, feature_group_count=c,
-    )
-    return x[0]
+    size = x.shape[axis]
+    cfg = [(pad, pad) if i == axis else (0, 0) for i in range(x.ndim)]
+    xp = jnp.pad(x, cfg)
+    out = None
+    for i in range(k):
+        term = float(win[i]) * jax.lax.slice_in_dim(xp, i, i + size, axis=axis)
+        out = term if out is None else out + term
+    return out
+
+
+def _blur(img: jax.Array, win: np.ndarray) -> jax.Array:
+    """Separable Gaussian blur. img: [C, H, W], zero 'SAME' padding."""
+    return _blur_axis(_blur_axis(img, win, 1), win, 2)
 
 
 def ssim(

@@ -100,6 +100,50 @@ def test_multi_strip_consistency():
     np.testing.assert_allclose(stripped.alpha, full.alpha, atol=1e-5)
 
 
+def test_packed_forward_and_vjp_match_oracle():
+    """composite_tiles_packed == oracle on both the image and the packed-array
+    gradient (the production driver path feeds the kernel this layout)."""
+    height, width = 20, 36
+    splats = _random_splats(jax.random.PRNGKey(11), 260, height, width)
+    m2, cn, lo, col, dep, val = splats
+    bg = jnp.array([0.2, 0.4, 0.6])
+    packed = rasterize_pallas.pack_splats(m2, cn, lo, col, dep, val)
+
+    ours = rasterize_pallas.composite_tiles_packed(
+        packed, height=height, width=width, bg=bg)
+    ref = rasterize.composite(*splats, height=height, width=width, bg=bg)
+    np.testing.assert_allclose(ours.rgb, ref.rgb, atol=2e-5)
+    np.testing.assert_allclose(ours.alpha, ref.alpha, atol=2e-5)
+
+    kg = jax.random.split(jax.random.PRNGKey(13), 2)
+    g_rgb = jax.random.normal(kg[0], (height, width, 3))
+    g_alpha = jax.random.normal(kg[1], (height, width))
+
+    def loss_packed(p):
+        out = rasterize_pallas.composite_tiles_packed(
+            p, height=height, width=width, bg=bg)
+        return jnp.sum(out.rgb * g_rgb) + jnp.sum(out.alpha * g_alpha)
+
+    def loss_oracle(m2_, cn_, lo_, col_, dep_):
+        out = rasterize.composite(m2_, cn_, lo_, col_, dep_, val,
+                                  height=height, width=width, bg=bg)
+        return jnp.sum(out.rgb * g_rgb) + jnp.sum(out.alpha * g_alpha)
+
+    gp = jax.grad(loss_packed)(packed)
+    ref_g = jax.grad(loss_oracle, argnums=(0, 1, 2, 3, 4))(m2, cn, lo, col, dep)
+    # packed columns: 0:2 mean2d, 2:5 conic, 5 log_op (valid rows), 6:9 color,
+    # 9 depth
+    valid_np = np.asarray(val)
+    slices = [gp[:, 0:2], gp[:, 2:5], gp[:, 5], gp[:, 6:9], gp[:, 9]]
+    for name, o, r in zip(["mean2d", "conic", "log_op", "colors", "depth"],
+                          slices, ref_g):
+        o, r = np.asarray(o), np.asarray(r)
+        scale = max(np.abs(r).max(), 1e-3)
+        np.testing.assert_allclose(
+            (o / scale)[valid_np], (r / scale)[valid_np], atol=5e-5,
+            err_msg=f"packed grad mismatch: {name}")
+
+
 # ---------------------------------------------------------------------------
 # binned (v2) rasterizer — same harness, same oracle
 # ---------------------------------------------------------------------------

@@ -98,3 +98,31 @@ def test_rotated_camera_consistency():
     g2 = g.replace(xyz=xyz2, rotation=rot2)
     out_ident = np.asarray(render(g2, cam, pose=cam.pose, chunk=64).render)
     np.testing.assert_allclose(out_posed, out_ident, atol=2e-3)
+
+
+def test_pallas_backend_matches_oracle_driver_level():
+    """The packed pallas driver path == oracle driver path, forward and
+    full parameter/pose gradients (exercises the variadic-sort front-end)."""
+    g, cam = make_scene(n=80, seed=4)
+    g = g.replace(scaling=g.scaling + jnp.array([0.4, -0.3, 0.1]))
+    target = jax.random.uniform(jax.random.PRNGKey(21), (48, 48, 3))
+
+    def loss(pose, gauss, backend):
+        out = render(gauss, cam, pose=pose, chunk=64, backend=backend)
+        return jnp.mean(jnp.abs(out.render - target))
+
+    out_o = render(g, cam, chunk=64, backend="oracle")
+    out_p = render(g, cam, chunk=64, backend="pallas")
+    np.testing.assert_allclose(out_p.render, out_o.render, atol=3e-5)
+    np.testing.assert_allclose(out_p.alpha, out_o.alpha, atol=3e-5)
+
+    gp_o, gg_o = jax.grad(loss, argnums=(0, 1))(cam.pose, g, "oracle")
+    gp_p, gg_p = jax.grad(loss, argnums=(0, 1))(cam.pose, g, "pallas")
+    np.testing.assert_allclose(np.asarray(gp_p), np.asarray(gp_o),
+                               rtol=2e-3, atol=1e-6)
+    for name in ("xyz", "scaling", "rotation", "opacity", "features_dc"):
+        o = np.asarray(getattr(gg_o, name))
+        p = np.asarray(getattr(gg_p, name))
+        scale = max(np.abs(o).max(), 1e-6)
+        np.testing.assert_allclose(p / scale, o / scale, atol=2e-4,
+                                   err_msg=f"driver grad mismatch: {name}")
