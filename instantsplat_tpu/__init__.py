@@ -38,10 +38,20 @@ def _enable_persistent_compilation_cache():
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
     try:
+        import hashlib
         import jax
 
+        # Key the cache by the host's CPU feature set: XLA:CPU AOT
+        # executables compiled on another machine can SIGILL on this one
+        # (the cache dir may be on shared/persistent storage).
+        try:
+            with open("/proc/cpuinfo") as f:
+                sig_src = next((l for l in f if l.startswith("flags")), "")
+        except OSError:
+            sig_src = ""
+        sig = hashlib.sha1(sig_src.encode()).hexdigest()[:8]
         cache_dir = os.path.join(
-            os.path.expanduser("~"), ".cache", "instantsplat_tpu_xla")
+            os.path.expanduser("~"), ".cache", f"instantsplat_tpu_xla_{sig}")
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

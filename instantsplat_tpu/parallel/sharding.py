@@ -37,7 +37,10 @@ from instantsplat_tpu.models.gaussians import GaussianModel
 from instantsplat_tpu.opt.gaussian_opt import GaussianOptimizer
 from instantsplat_tpu.ops import rasterize
 from instantsplat_tpu.ops.losses import photometric_loss, psnr
-from instantsplat_tpu.render.driver import prepare_sorted_splats
+from instantsplat_tpu.render.driver import (
+    prepare_packed_splats,
+    prepare_sorted_splats,
+)
 
 AXIS = "data"
 
@@ -84,6 +87,46 @@ def sharded_render(
     ndev = mesh.shape[AXIS]
     rows_per = _padded_rows(H, ndev)
 
+    # Backward structure (north-star psum placement): the geometry front-end
+    # runs OUTSIDE the shard_map on replicated inputs, so the shard_map
+    # transpose psums the compact per-splat cotangent ([N, 16] packed /
+    # six splat arrays) right after each chip's local compositing backward —
+    # the smallest tensor the reduction can ride on — and the front-end
+    # transpose (sort permutation + projection/SH backward) then runs on
+    # already-summed values. The image cotangent enters through the
+    # all_gather transpose as a per-chip row slice (no replicated-pixel
+    # traffic).
+    if backend == "pallas":
+        from instantsplat_tpu.ops import rasterize_pallas
+
+        packed, _ = prepare_packed_splats(
+            gaussians, pose, camera.fx, camera.fy, camera.cx, camera.cy,
+            jnp.float32(scale_modifier), active_sh_degree, H, W,
+        )
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        def _rows_packed(pk, bg_):
+            i = jax.lax.axis_index(AXIS)
+            y0 = (i * rows_per).astype(jnp.float32)
+            # shift splat y-centers into block-local row coordinates
+            shift = jnp.zeros((pk.shape[1],), jnp.float32).at[1].set(1.0) * y0
+            out = rasterize_pallas.composite_tiles_packed(
+                pk - shift[None, :], height=rows_per, width=W, bg=bg_,
+            )
+            rgb = jax.lax.all_gather(out.rgb, AXIS, axis=0, tiled=True)
+            alpha = jax.lax.all_gather(out.alpha, AXIS, axis=0, tiled=True)
+            depth = jax.lax.all_gather(out.depth, AXIS, axis=0, tiled=True)
+            return rgb, alpha, depth
+
+        rgb, alpha, depth = _rows_packed(packed, bg)
+        return rgb[:H], alpha[:H], depth[:H]
+
     sorted_splats, _ = prepare_sorted_splats(
         gaussians, pose, camera.fx, camera.fy, camera.cx, camera.cy,
         jnp.float32(scale_modifier), active_sh_degree, H, W,
@@ -109,17 +152,13 @@ def sharded_render(
                 height=rows_per, width=W, bg=bg_, chunk=chunk, y_offset=y0,
             )
         else:
-            from instantsplat_tpu.ops import (
-                rasterize_pallas,
-                rasterize_pallas_binned,
-            )
+            from instantsplat_tpu.ops import rasterize_pallas_binned
 
             m2_local = m2 - jnp.stack(
                 [jnp.zeros_like(y0), y0])[None, :]
-            fn = (rasterize_pallas.composite_tiles if backend == "pallas"
-                  else rasterize_pallas_binned.composite_tiles_binned)
-            out = fn(m2_local, cn, lo, col, dep, val,
-                     height=rows_per, width=W, bg=bg_)
+            out = rasterize_pallas_binned.composite_tiles_binned(
+                m2_local, cn, lo, col, dep, val,
+                height=rows_per, width=W, bg=bg_)
         rgb = jax.lax.all_gather(out.rgb, AXIS, axis=0, tiled=True)
         alpha = jax.lax.all_gather(out.alpha, AXIS, axis=0, tiled=True)
         depth = jax.lax.all_gather(out.depth, AXIS, axis=0, tiled=True)
@@ -136,12 +175,14 @@ def make_sharded_train_step(
     lambda_dssim: float,
     mesh: Mesh,
     chunk: int = 256,
+    backend: str = "oracle",
 ):
     """Pixel-sharded version of pipelines.trainer.make_train_step.
 
     One jitted program: render (rows sharded over chips) -> photometric loss
     -> backward (Gaussian/pose grads psum'd over ICI) -> grouped Adam update
-    (replicated)."""
+    (replicated). `backend` selects each chip's local compositor, exactly as
+    in the single-chip driver ('pallas' = the production packed kernel)."""
 
     @functools.partial(jax.jit, static_argnames=("active_sh",))
     def train_step(params, opt_state, view_idx, iteration, active_sh: int):
@@ -151,7 +192,7 @@ def make_sharded_train_step(
             pose = p.get_pose(view_idx)
             rgb, _, _ = sharded_render(
                 p, cam, mesh, pose=pose, bg=bg,
-                active_sh_degree=active_sh, chunk=chunk,
+                active_sh_degree=active_sh, chunk=chunk, backend=backend,
             )
             loss, aux = photometric_loss(rgb, cam.image, lambda_dssim)
             aux["psnr"] = psnr(rgb, cam.image)
