@@ -69,6 +69,14 @@ def load_images(paths, size=512, square_ok=False):
             halfh = 3 * halfw // 4
         img = img.crop((cx - halfw, cy - halfh, cx + halfw, cy + halfh))
         out.append(np.asarray(img, np.float32) / 255.0)
+    shapes = {o.shape for o in out}
+    if len(shapes) > 1:
+        raise ValueError(
+            f"mixed image shapes after resize/crop: {sorted(shapes)} — the "
+            "sparse-view pipeline assumes one camera per scene. For "
+            "mixed-aspect pair inference use "
+            "models.mast3r_infer.infer_pairs_mixed."
+        )
     arr = np.stack(out)
     return arr, arr.shape[1:3], orig_wh
 

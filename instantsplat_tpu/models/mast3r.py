@@ -25,10 +25,15 @@ Architecture (MASt3R ViT-Large checkpoint configuration):
   dir * expm1(|xyz|), conf = 1 + exp(x), desc L2-normalized.
 
 All functions are jit-friendly over [B, H, W, 3] image batches in [0, 1]
-(the DUSt3R ImgNorm x*2-1 is applied internally). Landscape orientation
-(W >= H) is assumed, matching InstantSplat's 512-long-side resize; the
-reference's portrait transpose wrapper (transpose_to_landscape) is not
-needed for this pipeline and is asserted against.
+(the DUSt3R ImgNorm x*2-1 is applied internally). Portrait images are
+processed directly in their true orientation — numerically equal to the
+reference's ManyAR/transpose_to_landscape scheme, which also evaluates
+portrait views at their true shape and merely stores them transposed in
+landscape buffers (dust3r/patch_embed.py:32-70, dust3r/utils/misc.py:
+54-96; equivariance locked by tests/test_mast3r.py). Mixed-aspect image
+sets go through models.mast3r_infer.infer_pairs_mixed (shape-grouped
+batching replacing the reference's forced batch_size=1,
+dust3r/inference.py:62-64).
 
 Parameters are a plain nested dict pytree. `init_params` gives a random
 model (tests); `convert_torch_checkpoint` maps a MASt3R .pth state_dict
@@ -386,13 +391,22 @@ def forward_pair(params, cfg: MASt3RConfig, img1, img2):
 
 
 def forward_from_encoded(params, cfg: MASt3RConfig, f1, pos1, f2, pos2,
-                         h: int, w: int):
+                         h: int, w: int, h2: int | None = None,
+                         w2: int | None = None):
     """Decoder+heads only — for inference where each unique image is
     encoded ONCE and pairs reuse the cached tokens (improves on the
-    reference's symmetrized half-compute trick, dust3r/model.py:152-169)."""
+    reference's symmetrized half-compute trick, dust3r/model.py:152-169).
+
+    (h, w) is view 1's image shape; (h2, w2) view 2's (defaults to view
+    1's). Distinct shapes support mixed-aspect pairs — the cross-attention
+    is shape-agnostic over token sets and each head reshapes to its own
+    view's grid (the reference handles this case by forcing batch_size=1,
+    dust3r/inference.py:62-64)."""
+    h2 = h if h2 is None else h2
+    w2 = w if w2 is None else w2
     dec1, dec2 = decode_pair(params, cfg, f1, pos1, f2, pos2)
     res1 = catmlp_dpt_head(params["head1"], cfg, dec1, h, w)
-    res2 = catmlp_dpt_head(params["head2"], cfg, dec2, h, w)
+    res2 = catmlp_dpt_head(params["head2"], cfg, dec2, h2, w2)
     return res1, res2
 
 

@@ -35,11 +35,12 @@ def _encode_jit(cfg: mast3r.MASt3RConfig):
     return jax.jit(lambda p, im: mast3r.encode_images(p, cfg, im))
 
 
-@functools.lru_cache(maxsize=16)
-def _decode_jit(cfg: mast3r.MASt3RConfig, h: int, w: int):
+@functools.lru_cache(maxsize=32)
+def _decode_jit(cfg: mast3r.MASt3RConfig, h: int, w: int,
+                h2: int | None = None, w2: int | None = None):
     return jax.jit(
         lambda p, f1, p1, f2, p2: mast3r.forward_from_encoded(
-            p, cfg, f1, p1, f2, p2, h, w))
+            p, cfg, f1, p1, f2, p2, h, w, h2, w2))
 
 
 def infer_pairs(
@@ -51,11 +52,20 @@ def infer_pairs(
     mesh=None,
     dtype=None,
 ) -> PairPrediction:
-    """images [V, H, W, 3] in [0,1]; pairs: [(i, j)] directed.
+    """images [V, H, W, 3] in [0,1] (or a list of same-shape images);
+    pairs: [(i, j)] directed. For images of MIXED shapes (portrait +
+    landscape in one scene) use `infer_pairs_mixed`, which this function
+    dispatches to automatically when handed a mixed-shape list.
 
     dtype=jnp.bfloat16 runs the transformer in mixed precision (weights +
     activations bf16, LayerNorm/softmax statistics and head postprocess
     f32) — ~2x MXU throughput for the stage-1 hot loop."""
+    if isinstance(images, (list, tuple)):
+        shapes = {tuple(np.asarray(im).shape[:2]) for im in images}
+        if len(shapes) > 1:
+            return infer_pairs_mixed(params, cfg, images, pairs,
+                                     batch_size=batch_size, dtype=dtype)
+        images = np.stack([np.asarray(im) for im in images])
     images = jnp.asarray(images, jnp.float32)
     if dtype is not None:
         params = mast3r.cast_params(params, dtype)
@@ -112,6 +122,81 @@ def infer_pairs(
     out.desc_i = desc_i  # descriptor maps (mast3r extra outputs)
     out.desc_j = desc_j
     return out
+
+
+def infer_pairs_mixed(
+    params,
+    cfg: mast3r.MASt3RConfig,
+    images,
+    pairs,
+    batch_size: int = 8,
+    dtype=None,
+):
+    """Pairwise inference over a MIXED-shape image set.
+
+    The reference collates mixed-shape scenes by forcing batch_size=1
+    (dust3r/inference.py:62-64). TPU-first version: group images by shape
+    and encode each group as one batch; group directed pairs by their
+    (shape_i, shape_j) signature and decode each group in fixed-size jitted
+    batches (one compiled program per distinct shape pair — a scene mixes
+    at most a handful). Portrait images run in their true orientation,
+    numerically equal to the reference's ManyAR transpose scheme (see
+    models/mast3r.py encode_images note + tests/test_mast3r.py).
+
+    Args:
+      images: list of [H_i, W_i, 3] float arrays in [0,1].
+      pairs: [(i, j)] directed edges.
+
+    Returns: list (len == len(pairs)) of dicts with keys pred_i, pred_j,
+    conf_i, conf_j, desc_i, desc_j — each map in its own image's shape.
+    """
+    from collections import defaultdict
+
+    if dtype is not None:
+        params = mast3r.cast_params(params, dtype)
+
+    shapes = [tuple(np.asarray(im).shape[:2]) for im in images]
+    encode = _encode_jit(cfg)
+    feats: list = [None] * len(images)
+    poss: list = [None] * len(images)
+    img_groups = defaultdict(list)
+    for idx, s in enumerate(shapes):
+        img_groups[s].append(idx)
+    for s, idxs in img_groups.items():
+        batch = jnp.asarray(
+            np.stack([np.asarray(images[i], np.float32) for i in idxs]))
+        if dtype is not None:
+            batch = batch.astype(dtype)
+        f, p = encode(params, batch)
+        for k, i in enumerate(idxs):
+            feats[i], poss[i] = f[k], p[k]
+
+    edge_groups = defaultdict(list)
+    for e, (i, j) in enumerate(pairs):
+        edge_groups[(shapes[i], shapes[j])].append(e)
+
+    results: list = [None] * len(pairs)
+    for (si, sj), eidx in edge_groups.items():
+        decode = _decode_jit(cfg, si[0], si[1], sj[0], sj[1])
+        bs = min(batch_size, len(eidx))
+        for s0 in range(0, len(eidx), bs):
+            chunk = eidx[s0:s0 + bs]
+            sel = chunk + [chunk[0]] * (bs - len(chunk))  # pad: stable jit shape
+            f1 = jnp.stack([feats[pairs[e][0]] for e in sel])
+            p1 = jnp.stack([poss[pairs[e][0]] for e in sel])
+            f2 = jnp.stack([feats[pairs[e][1]] for e in sel])
+            p2 = jnp.stack([poss[pairs[e][1]] for e in sel])
+            r1, r2 = decode(params, f1, p1, f2, p2)
+            for k, e in enumerate(chunk):
+                results[e] = dict(
+                    pred_i=np.asarray(r1["pts3d"][k], np.float32),
+                    pred_j=np.asarray(r2["pts3d"][k], np.float32),
+                    conf_i=np.asarray(r1["conf"][k], np.float32),
+                    conf_j=np.asarray(r2["conf"][k], np.float32),
+                    desc_i=np.asarray(r1["desc"][k], np.float32),
+                    desc_j=np.asarray(r2["desc"][k], np.float32),
+                )
+    return results
 
 
 def make_pointmap_fn(ckpt_path: str, batch_size: int = 8,

@@ -291,3 +291,54 @@ def test_load_checkpoint_from_torch_file(tmp_path):
     img = rng.random((1, 32, 32, 3)).astype(np.float32)
     r1, _ = mast3r.forward_pair(params, TINY, img, img)
     assert np.isfinite(np.asarray(r1["pts3d"])).all()
+
+
+def test_infer_pairs_mixed_aspect(tiny_model):
+    """Mixed portrait + landscape image sets through infer_pairs: every
+    per-edge map comes back in its own image's true shape, and edges whose
+    views share one shape match the uniform-batch forward exactly
+    (reference mixed-shape semantics: dust3r/inference.py:62-64)."""
+    from instantsplat_tpu.init.pairs import make_pair_indices
+    from instantsplat_tpu.models.mast3r_infer import infer_pairs
+
+    params, cfg = tiny_model
+    rng = np.random.default_rng(11)
+    shapes = [(32, 48), (48, 32), (32, 48)]  # landscape, portrait, landscape
+    imgs = [rng.random((h, w, 3)).astype(np.float32) for h, w in shapes]
+    pairs = make_pair_indices(3, "complete", symmetrize=True)
+
+    res = infer_pairs(params, cfg, imgs, pairs)  # auto-dispatch to mixed
+    assert isinstance(res, list) and len(res) == len(pairs)
+    for (i, j), r in zip(pairs, res):
+        hi, wi = shapes[i]
+        hj, wj = shapes[j]
+        assert r["pred_i"].shape == (hi, wi, 3), (i, j)
+        assert r["pred_j"].shape == (hj, wj, 3), (i, j)
+        assert r["conf_i"].shape == (hi, wi)
+        assert r["conf_j"].shape == (hj, wj)
+        assert r["desc_i"].shape == (hi, wi, cfg.local_feat_dim)
+        for v in r.values():
+            assert np.isfinite(v).all()
+
+    # same-shape edge (0, 2) must equal the plain uniform-batch forward
+    e02 = pairs.index((0, 2))
+    r1, r2 = mast3r.forward_pair(params, cfg, imgs[0][None], imgs[2][None])
+    scale = max(np.abs(np.asarray(r1["pts3d"][0])).max(), 1.0)
+    np.testing.assert_allclose(res[e02]["pred_i"] / scale,
+                               np.asarray(r1["pts3d"][0]) / scale, atol=1e-4)
+    np.testing.assert_allclose(res[e02]["pred_j"] / scale,
+                               np.asarray(r2["pts3d"][0]) / scale, atol=1e-4)
+
+
+def test_infer_pairs_uniform_list_input(tiny_model):
+    """A list of SAME-shape images stacks onto the fast uniform path."""
+    from instantsplat_tpu.init.pairs import make_pair_indices
+    from instantsplat_tpu.models.mast3r_infer import infer_pairs
+
+    params, cfg = tiny_model
+    rng = np.random.default_rng(12)
+    imgs_arr = rng.random((2, 32, 48, 3)).astype(np.float32)
+    pairs = make_pair_indices(2, "complete", symmetrize=True)
+    a = infer_pairs(params, cfg, imgs_arr, pairs)
+    b = infer_pairs(params, cfg, list(imgs_arr), pairs)
+    np.testing.assert_allclose(a.pred_i, b.pred_i, atol=0)

@@ -34,11 +34,11 @@ def _texture(x, y):
     return np.stack([r, g, b], -1)
 
 
-def _scene_geometry():
+def _scene_geometry(h=H, w=W):
     """c2w poses + per-view (world points, camera points, image)."""
     c2ws, pts_world, pts_cam, images = [], [], [], []
-    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
-    dirs = np.stack([(gx - W / 2) / FOCAL, (gy - H / 2) / FOCAL,
+    gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+    dirs = np.stack([(gx - w / 2) / FOCAL, (gy - h / 2) / FOCAL,
                      np.ones_like(gx)], -1)
     for v in range(N_IMAGES):
         ang = 0.05 * (v - (N_IMAGES - 1) / 2)
@@ -71,8 +71,9 @@ def _oracle_pointmap_fn(c2ws, pts_world, pts_cam, train_idx):
             @ c2ws[train_idx[i], :3, :3]
             for i, j in pairs
         ]).astype(np.float32)
+        h, w = pts_cam.shape[1:3]
         conf = 1.0 + np.exp(
-            rng.random((len(pairs), H, W)).astype(np.float32))
+            rng.random((len(pairs), h, w)).astype(np.float32))
         return PairPrediction(edges=list(pairs), pred_i=pred_i,
                               pred_j=pred_j, conf_i=conf,
                               conf_j=conf * 1.05)
@@ -206,3 +207,50 @@ def test_infer_video_branch(tmp_path):
     assert (out_dir / "pose" / "ours_20" / "pose_interpolated.npy").exists()
     assert (out_dir / "pose" / "ours_20" / "poses_optimized.png").exists()
     # mp4 written when an encoder is available; frames always remain
+
+
+@pytest.mark.slow
+def test_init_geo_and_train_portrait_scene(tmp_path):
+    """init_geo + a short training run on a PORTRAIT (H > W) scene
+    directory — the orientation MVImgNet-style phone captures arrive in
+    (VERDICT r1 item 4; reference handles it via transpose_to_landscape,
+    we process true orientation directly)."""
+    ph, pw = 64, 48  # portrait
+    scene_dir = tmp_path / "scene"
+    out_dir = tmp_path / "out"
+    (scene_dir / "images").mkdir(parents=True)
+
+    c2ws, pts_world, pts_cam, images = _scene_geometry(h=ph, w=pw)
+    for v in range(N_IMAGES):
+        image_io.save_image(scene_dir / "images" / f"frame_{v:04d}.png",
+                            images[v])
+    files = [f"frame_{v:04d}.png" for v in range(N_IMAGES)]
+    _, _, train_idx, _ = scene_io.split_train_test(files, N_VIEWS)
+
+    from instantsplat_tpu.pipelines.init_geo_pipeline import run_init_geo
+
+    run_init_geo(
+        scene_dir, out_dir,
+        _oracle_pointmap_fn(c2ws, pts_world, pts_cam, train_idx),
+        n_views=N_VIEWS, image_size=max(ph, pw), niter=40,
+        focal_avg=True, depth_thre=0.0,
+    )
+    sparse0 = scene_dir / f"sparse_{N_VIEWS}" / "0"
+    assert (sparse0 / "images.txt").exists()
+    cams = colmap.read_cameras_text(sparse0 / "cameras.txt")
+    # portrait camera: width < height, focal near GT
+    assert cams[1].width == pw and cams[1].height == ph
+    assert abs(cams[1].params[0] - FOCAL) / FOCAL < 0.05
+
+    from instantsplat_tpu.pipelines.config import ModelParams
+    from instantsplat_tpu.pipelines.train_pipeline import run_training
+    from instantsplat_tpu.pipelines.trainer import TrainerConfig
+    from instantsplat_tpu.opt.gaussian_opt import OptimizationConfig
+
+    model = ModelParams(source_path=str(scene_dir), model_path=str(out_dir),
+                        n_views=N_VIEWS)
+    trainer = TrainerConfig(iterations=20, backend="oracle", log_every=10)
+    params, history = run_training(
+        model, OptimizationConfig(optim_pose=True), trainer)
+    losses = [m["loss"] for _, m in history]
+    assert losses[-1] < losses[0]
