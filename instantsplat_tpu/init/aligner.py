@@ -28,15 +28,15 @@ runs thousands of small CUDA kernels per iteration; here the entire
 tensors — the whole alignment compiles to a single XLA program. The MST
 walk and registrations are tiny (V <= 24) and stay on host.
 
-Deviation from the reference (documented): pose completion for images the
-MST walk leaves uninitialized uses a dense confidence-weighted sim3
-registration of the image's own pointmap onto the fused cloud instead of
-cv2.solvePnPRansac (init_im_poses.py:259-299) — same role, no cv2
-dependency; with dense per-pixel correspondences + confidence weights the
-robust-estimator motivation for RANSAC does not apply. Ditto: the
-reference estimates some MST focals from a stale edge variable
-(init_im_poses.py:170-171 reads `i_j` from the previous loop iteration);
-we use the current edge.
+Pose completion for images the MST walk leaves uninitialized follows the
+reference's robust path: RANSAC-PnP of the image's fused world pointmap
+against its pixel grid (init_im_poses.py:259-299 `fast_pnp`; pure-numpy
+port in init/pnp.py, confidence mask at min_conf_thr), falling back to a
+dense confidence-weighted sim3 registration when PnP finds no consensus
+(degenerate geometry / too few confident pixels). Deviation from the
+reference (documented): the reference estimates some MST focals from a
+stale edge variable (init_im_poses.py:170-171 reads `i_j` from the
+previous loop iteration); we use the current edge.
 """
 
 from __future__ import annotations
@@ -227,9 +227,27 @@ class GlobalAligner:
         for i, j in by_score:
             if im_focals[i] is None:
                 im_focals[i] = G.estimate_focal_weiszfeld(pred_i[(i, j)])
-        # complete missing poses: dense conf-weighted registration of the
-        # image's own pointmap onto its fused cloud (see module docstring)
+        # complete missing poses: RANSAC-PnP of the fused world pointmap
+        # against the pixel grid (reference init_im_poses.py:259-299), with
+        # the dense conf-weighted registration as fallback when PnP finds
+        # no consensus (see module docstring)
+        from instantsplat_tpu.init import pnp as _pnp
+
         for n in range(self.n_imgs):
+            if im_poses[n] is None and pts3d[n] is not None:
+                conf_n = None
+                for i, j in by_score:
+                    if i == n:
+                        conf_n = conf_i[(i, j)]
+                        break
+                if conf_n is not None:
+                    msk = conf_n > self.min_conf_thr
+                    if msk.sum() < _pnp.MIN_PNP_POINTS:
+                        msk = conf_n >= np.median(conf_n)
+                    res = _pnp.fast_pnp(pts3d[n], im_focals[n], msk,
+                                        niter_pnp=niter_pnp)
+                    if res is not None:
+                        im_poses[n] = np.asarray(res[1])  # cam2world
             if im_poses[n] is None:
                 for i, j in by_score:
                     if i == n and pts3d[n] is not None:
