@@ -8,11 +8,15 @@ metric).
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "Mpix/s", "vs_baseline": N}
 
-vs_baseline: the reference pipeline trains 1000 joint-opt iterations in tens
-of seconds on one NVIDIA GPU (BASELINE.md: no published numbers; harness
-semantics at train.py + train_time.txt). We use 10 Mpix/s fwd+bwd as the
-nominal reference-GPU training-loop throughput for the ratio; the absolute
-value is the honest number.
+vs_baseline: anchored to the BASELINE.md north-star budget — a 3-view scene
+end-to-end (init + 1000-iter joint opt) in < 60 s per host. At the reference
+training resolution (512x384 = 0.1966 Mpix/iter, gaussian_renderer call
+shape), 1000 iterations are 196.6 Mpix of fwd+bwd rasterization; giving
+training ~20 s of the 60 s budget (the rest goes to the MASt3R forward
+passes + alignment, the dominant init cost) requires 196.6 / 20 ~= 10
+Mpix/s. The reference publishes no per-iteration GPU throughput
+(train_time.txt records only wall totals), so this budget-derived figure is
+the ratio's denominator; the absolute value is the honest number.
 """
 
 from __future__ import annotations
@@ -22,6 +26,8 @@ import time
 
 import numpy as np
 
+# 196.6 Mpix (1000 iters @ 512x384) / 20 s training share of the 60 s
+# end-to-end north-star budget (see module docstring).
 BASELINE_MPIX_S = 10.0
 
 # Workload: between BASELINE.json configs 1 and 2 — 512x384 render, 100k
