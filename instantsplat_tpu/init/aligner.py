@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 
 import numpy as np
 import scipy.sparse as sp
@@ -407,6 +408,11 @@ class GlobalAligner:
                 for k in ("pred_i", "pred_j", "w_i", "w_j", "ei", "ej"):
                     buffers[k] = jax.device_put(buffers[k], edge_sh)
             else:  # uneven edge count: stay replicated (correct, unsharded)
+                logging.getLogger(__name__).warning(
+                    "aligner: %d edges do not divide the %d-device mesh; "
+                    "running replicated (correct but unsharded). Pad the "
+                    "pair graph or use a divisor-sized mesh to shard.",
+                    len(self.edges), n_dev)
                 mesh = None
         params = {k: jnp.asarray(v) for k, v in self.params.items()}
         trainable = dict(pw_poses=True,

@@ -21,6 +21,7 @@ Semantics parity notes:
 from __future__ import annotations
 
 import functools
+import logging
 from typing import NamedTuple, Optional
 
 import jax
@@ -223,6 +224,53 @@ def _render_impl(
     )
 
 
+_log = logging.getLogger(__name__)
+
+# Binned-backend overflow guard. The kernels cannot warn inline (axon has no
+# debug callbacks — CLAUDE.md), so the driver checks the bin-capacity flag
+# host-side: once on the first binned call for a (N, H, W) signature and then
+# every _BINNED_CHECK_EVERY calls (scene content drifts during training). On
+# overflow the signature is demoted to the dense kernel, which never drops
+# splats — matching the CUDA rasterizer's drop-free guarantee
+# (diff-gaussian-rasterization allocates exact per-tile lists).
+_BINNED_CHECK_EVERY = 100
+_binned_call_count: dict = {}
+_binned_demoted: set = set()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("active_sh_degree", "height", "width"))
+def _binned_overflow_impl(gaussians, pose, fx, fy, cx, cy, scale_modifier,
+                          active_sh_degree: int, height: int, width: int):
+    (mean2d, conic, log_op, _, _, valid), _ = prepare_sorted_splats(
+        gaussians, pose, fx, fy, cx, cy, scale_modifier, active_sh_degree,
+        height, width,
+    )
+    return rasterize_pallas_binned.bin_overflow(
+        mean2d, conic, log_op, valid, height=height, width=width)
+
+
+def _binned_backend_or_dense(gaussians, pose, camera, scale_modifier,
+                             active_sh_degree) -> str:
+    """Rate-limited overflow check; returns the backend to actually use."""
+    key = (int(gaussians.xyz.shape[0]), camera.height, camera.width)
+    n = _binned_call_count.get(key, 0)
+    _binned_call_count[key] = n + 1
+    if key not in _binned_demoted and n % _BINNED_CHECK_EVERY == 0:
+        overflow = bool(_binned_overflow_impl(
+            gaussians, pose, camera.fx, camera.fy, camera.cx, camera.cy,
+            jnp.float32(scale_modifier), active_sh_degree,
+            camera.height, camera.width))
+        if overflow:
+            _binned_demoted.add(key)
+            _log.warning(
+                "binned rasterizer bin capacity exhausted for N=%d %dx%d "
+                "(pairs would be dropped); auto-switching this signature to "
+                "the dense pallas backend. Raise rasterize_pallas_binned."
+                "CAP_FACTOR / D_LEVELS to keep binning.", *key)
+    return "pallas" if key in _binned_demoted else "pallas-binned"
+
+
 def render(
     gaussians: GaussianModel,
     camera: Camera,
@@ -252,6 +300,9 @@ def render(
         bg = jnp.zeros(3, jnp.float32)
     if active_sh_degree is None:
         active_sh_degree = gaussians.max_sh_degree
+    if backend == "pallas-binned":
+        backend = _binned_backend_or_dense(
+            gaussians, pose, camera, scale_modifier, active_sh_degree)
     return _render_impl(
         gaussians,
         pose,
