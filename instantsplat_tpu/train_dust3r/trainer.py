@@ -20,6 +20,7 @@ iterator of (view1, view2) batches.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Iterator, Optional
 
 import jax
@@ -55,12 +56,30 @@ def make_dp_train_step(
     beta2=0.95,
     loss_fn: Optional[Callable] = None,
     alpha=0.2,
+    compute_dtype=None,
+    accum_iter: int = 1,
 ):
     """-> (init_state, train_step).
 
     train_step(state, batch) -> (state, metrics); batch = dict with
     img1/img2 [B,H,W,3], gt1/gt2 view dicts (see losses.regr3d_conf_loss).
     With a mesh, the batch's leading axis is sharded and params replicated.
+
+    Mixed precision (`compute_dtype=jnp.bfloat16`): the TPU-native
+    equivalent of the reference's AMP autocast + NativeScaler
+    (dust3r/training.py:296-299 via loss_of_one_batch's use_amp) — master
+    params, gradients and the Adam state stay fp32, the forward/backward
+    runs with bf16 params/activations on the MXU. bf16 shares fp32's
+    exponent range, so NO loss scaler is needed (the scaler exists purely
+    for fp16 underflow); this is the standard TPU replacement, not an
+    omission.
+
+    Gradient accumulation (`accum_iter > 1`): the reference divides the
+    loss by accum_iter and defers the optimizer step
+    (dust3r/training.py:307-311). Here the micro-batch loop is a lax.scan
+    INSIDE the one jitted step over a [accum_iter, B, ...] stacked batch
+    (see `stack_microbatches`), accumulating fp32 gradients — one XLA
+    program per optimizer step, no host round-trips between micro-batches.
     """
     lr_sched = cosine_warmup_schedule(
         base_lr, min_lr, warmup_steps, total_steps)
@@ -76,18 +95,47 @@ def make_dp_train_step(
         )
 
     def objective(params, batch):
+        if compute_dtype is not None:
+            params = jax.tree.map(
+                lambda p: p.astype(compute_dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
+            batch = dict(batch,
+                         img1=batch["img1"].astype(compute_dtype),
+                         img2=batch["img2"].astype(compute_dtype))
         r1, r2 = mast3r.forward_pair(
             params, cfg, batch["img1"], batch["img2"])
         r2 = dict(r2)
         r2["pts3d_in_other_view"] = r2.pop("pts3d")
         loss, details = loss_fn(
             batch["gt1"], batch["gt2"], r1, r2, alpha=alpha)
-        return loss, details
+        return loss.astype(jnp.float32), details
+
+    def grad_fn(params, batch):
+        if accum_iter == 1:
+            return jax.value_and_grad(objective, has_aux=True)(params, batch)
+
+        def micro(carry, mb):
+            g_acc, l_acc, d_acc = carry
+            (l, d), g = jax.value_and_grad(objective, has_aux=True)(
+                params, mb)
+            g_acc = jax.tree.map(
+                lambda a, b: a + b.astype(a.dtype) / accum_iter, g_acc, g)
+            d_acc = jax.tree.map(lambda a, b: a + b / accum_iter, d_acc, d)
+            return (g_acc, l_acc + l / accum_iter, d_acc), None
+
+        zeros_g = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        mb0 = jax.tree.map(lambda x: x[0], batch)
+        _, d0 = jax.eval_shape(objective, params, mb0)
+        zeros_d = jax.tree.map(lambda s: jnp.zeros((), s.dtype), d0)
+        (grads, loss, details), _ = jax.lax.scan(
+            micro, (zeros_g, jnp.float32(0.0), zeros_d), batch)
+        return (loss, details), grads
 
     @jax.jit
     def train_step(state, batch):
-        (loss, details), grads = jax.value_and_grad(
-            objective, has_aux=True)(state["params"], batch)
+        (loss, details), grads = grad_fn(state["params"], batch)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         step = state["step"] + 1
         lr = lr_sched(step)
         t = step.astype(jnp.float32)
@@ -119,30 +167,107 @@ def make_dp_train_step(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         axis = list(mesh.axis_names)[0]
-        sh = NamedSharding(mesh, P(axis))
+        # with accumulation the leading axis is the (sequential) micro-batch
+        # scan axis; the SECOND axis is the data-parallel batch
+        spec = P(None, axis) if accum_iter > 1 else P(axis)
+        sh = NamedSharding(mesh, spec)
+        min_ndim = 2 if accum_iter > 1 else 1
 
         def put(x):
             return jax.device_put(x, sh) if hasattr(x, "shape") and \
-                x.ndim >= 1 else x
+                x.ndim >= min_ndim else x
 
         return jax.tree.map(put, batch)
 
     return init_state, train_step, shard_batch
 
 
+def stack_microbatches(batches):
+    """Stack accum_iter loader batches -> one [A, B, ...] scan batch
+    (the jitted-accumulation input of make_dp_train_step)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
+# -- checkpointing (reference: misc.save_model/load_model +
+#    training.py:101-103 auto-resume from checkpoint-last.pth) ------------
+
+def save_pretrain_checkpoint(path, state):
+    """Flatten the (params, m, v, step) pytree to one npz; atomic rename so
+    a kill mid-save never corrupts checkpoint-last."""
+    flat = {
+        jax.tree_util.keystr(kp): np.asarray(leaf)
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(state)[0]
+    }
+    tmp = f"{path}.tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_pretrain_checkpoint(path, template_state):
+    """Inverse of save: leaves are looked up by pytree key-path string, so
+    any params structure round-trips as long as the template matches."""
+    with np.load(path) as z:
+        leaves_p = jax.tree_util.tree_flatten_with_path(template_state)[0]
+        treedef = jax.tree_util.tree_structure(template_state)
+        leaves = [
+            jnp.asarray(z[jax.tree_util.keystr(kp)]) for kp, _ in leaves_p
+        ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def train_loop(params, cfg, batches: Iterator, mesh=None, n_steps=None,
-               log_every=10, **kw):
-    """Simple driver: returns (params, history)."""
+               log_every=10, output_dir=None, save_every=None, **kw):
+    """Simple driver: returns (params, history).
+
+    With `output_dir`, auto-resumes from `<output_dir>/checkpoint-last.npz`
+    if present (reference dust3r/training.py:101-103: args.resume =
+    checkpoint-last if it exists) and saves there every `save_every`
+    optimizer steps and at the end. On resume the first `step` batches of
+    the iterator are skipped, so a deterministic batch source reproduces
+    the uninterrupted trajectory (reference resumes at epoch granularity;
+    step granularity is strictly finer).
+
+    A non-finite loss aborts with FloatingPointError, checked at every
+    log/save boundary (reference checks every step and sys.exit(1)s,
+    training.py:303-305; per-step host sync would serialize the TPU
+    pipeline, so the check rides the existing metric pulls).
+    """
     init_state, train_step, shard_batch = make_dp_train_step(
         cfg, mesh=mesh, **kw)
     state = init_state(params)
+    skip = 0
+    ckpt_path = None
+    if output_dir is not None:
+        os.makedirs(output_dir, exist_ok=True)
+        ckpt_path = os.path.join(output_dir, "checkpoint-last.npz")
+        if os.path.isfile(ckpt_path):
+            state = load_pretrain_checkpoint(ckpt_path, state)
+            skip = int(state["step"])
     history = []
+
+    def check_finite(metrics):
+        loss = float(metrics["loss"])
+        if not np.isfinite(loss):
+            raise FloatingPointError(
+                f"Loss is {loss}, stopping training")
+        return loss
+
+    metrics = None
     for i, batch in enumerate(batches):
         if n_steps is not None and i >= n_steps:
             break
+        if i < skip:  # consumed before the resume point
+            continue
         state, metrics = train_step(state, shard_batch(batch))
         if i % log_every == 0 or (n_steps and i == n_steps - 1):
+            check_finite(metrics)
             history.append((i, {k: float(v) for k, v in metrics.items()}))
+        if ckpt_path and save_every and (i + 1) % save_every == 0:
+            check_finite(metrics)
+            save_pretrain_checkpoint(ckpt_path, state)
+    if ckpt_path is not None and metrics is not None:
+        check_finite(metrics)
+        save_pretrain_checkpoint(ckpt_path, state)
     return state["params"], history
 
 

@@ -157,3 +157,91 @@ def test_posed_dataset_batches(tmp_path):
     b0 = list(ds.batches(2, shard=(0, 2)))
     b1 = list(ds.batches(2, shard=(1, 2)))
     assert len(b0) + len(b1) <= len(batches) + 1
+
+
+def test_bf16_mixed_precision_step():
+    """AMP-equivalent path (VERDICT r1 item 8): bf16 compute, fp32 master
+    params + Adam state, no loss scaler needed (bf16 keeps fp32's exponent
+    range). Loss finite, params move, and master dtypes stay fp32."""
+    from instantsplat_tpu.train_dust3r import trainer
+
+    params = mast3r.init_params(TINY, seed=0)
+    batch = trainer.synthetic_batch(TINY, batch=2)
+    init_state, step, shard = trainer.make_dp_train_step(
+        TINY, base_lr=5e-4, warmup_steps=1, total_steps=4,
+        compute_dtype=jnp.bfloat16)
+    state = init_state(params)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    for leaf in jax.tree.leaves(state["params"]):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         params, state["params"])
+    assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_grad_accumulation_matches_single_step():
+    """accum_iter=2 over the SAME micro-batch twice == one plain step on
+    that batch (averaging identical gradients is the identity), exactly
+    reproducing the reference's loss/accum_iter + deferred update
+    semantics (dust3r/training.py:307-311)."""
+    from instantsplat_tpu.train_dust3r import trainer
+
+    params = mast3r.init_params(TINY, seed=0)
+    mb = trainer.synthetic_batch(TINY, batch=2)
+    kw = dict(base_lr=5e-4, warmup_steps=1, total_steps=4)
+
+    init1, step1, _ = trainer.make_dp_train_step(TINY, **kw)
+    s1, m1 = step1(init1(params), mb)
+
+    init2, step2, _ = trainer.make_dp_train_step(TINY, accum_iter=2, **kw)
+    stacked = trainer.stack_microbatches([mb, mb])
+    s2, m2 = step2(init2(params), stacked)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        s1["params"], s2["params"])
+    # fp32 reassociation (g/2 + g/2 vs g) through Adam's rsqrt: ~1e-5 ULP
+    assert max(jax.tree.leaves(diff)) < 1e-4
+
+
+def test_auto_resume_reproduces_trajectory(tmp_path):
+    """Kill/restart mid-loop == uninterrupted run (VERDICT r1 item 8;
+    reference auto-resume: training.py:101-103 checkpoint-last)."""
+    from instantsplat_tpu.train_dust3r import trainer
+
+    params = mast3r.init_params(TINY, seed=0)
+    batches = [trainer.synthetic_batch(TINY, batch=2, seed=s)
+               for s in range(6)]
+    kw = dict(base_lr=5e-4, warmup_steps=2, total_steps=6, log_every=1)
+
+    p_full, _ = trainer.train_loop(
+        params, TINY, iter(batches), n_steps=6, **kw)
+
+    out = str(tmp_path / "run")
+    trainer.train_loop(params, TINY, iter(batches), n_steps=4,
+                       output_dir=out, **kw)  # "killed" after 4 steps
+    import os
+    assert os.path.isfile(os.path.join(out, "checkpoint-last.npz"))
+    p_res, _ = trainer.train_loop(params, TINY, iter(batches), n_steps=6,
+                                  output_dir=out, **kw)
+
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        p_full, p_res)
+    assert max(jax.tree.leaves(diff)) < 1e-6
+
+
+def test_nonfinite_loss_aborts():
+    """Reference sys.exit(1)s on a non-finite loss (training.py:303-305);
+    the loop must raise, not train on."""
+    from instantsplat_tpu.train_dust3r import trainer
+
+    params = mast3r.init_params(TINY, seed=0)
+    batch = trainer.synthetic_batch(TINY, batch=2)
+    batch["gt1"]["pts3d"] = batch["gt1"]["pts3d"].at[0, 0, 0, 0].set(
+        jnp.nan)
+    with pytest.raises(FloatingPointError):
+        trainer.train_loop(params, TINY, iter([batch] * 2), n_steps=2,
+                           log_every=1, base_lr=5e-4, warmup_steps=1,
+                           total_steps=2)
