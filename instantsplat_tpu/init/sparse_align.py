@@ -1,31 +1,38 @@
 """Sparse (correspondence-based) global alignment.
 
-Compact TPU-native counterpart of MASt3R's sparse global aligner
+TPU-native counterpart of MASt3R's sparse global aligner
 (mast3r/cloud_opt/sparse_ga.py:118-463 `sparse_global_alignment` — the
 fast alignment path used by the MASt3R demo; InstantSplat's init_geo uses
-the dense PointCloudOptimizer instead, SURVEY.md §2.4). Captures the same
-structure at a fraction of the machinery:
+the dense PointCloudOptimizer instead, SURVEY.md §2.4). Structure:
 
 1. reciprocal descriptor matching per directed edge (ops/matching.py —
-   the fast_nn.py core) on a subsampled anchor grid;
-2. each match contributes a 3D constraint: anchor pixel x1's point in
-   image i's own frame must coincide with anchor pixel x2's point in
-   image j's own frame once both are mapped to world by their cam2world
-   sim3s;
-3. jointly optimize per-image (quat, signed-log1p trans, log scale) by
-   confidence-weighted robust L1 over all matches — one jitted Adam
-   fori_loop, like the dense aligner.
+   the fast_nn.py core) on a subsampled anchor grid, optionally refined
+   coarse-to-fine on crop pairs (`refine_matches_coarse_to_fine`, the
+   mast3r/utils/coarse_to_fine.py capability);
+2. each match contributes a constraint between the two images' sim3s;
+   edges whose matching is too weak fall back to a dense grid-anchor
+   DUSt3R-regression term at weight `loss_dust3r_w` (sparse_ga.py:
+   307-315 loss_dust3r + matching_conf_thr gating);
+3. two-phase optimization mirroring sparse_ga.py:440-453:
+   - COARSE (niter1, lr1, gamma_loss(1.1)): 3D point-coincidence over
+     matched anchors, poses + scales only (sparse_ga.py:355-380 loss_3d);
+   - FINE (niter2, lr2, gamma_loss(0.4)): 2D-reprojection of the matched
+     points into the opposite image against the matched pixel coords
+     (sparse_ga.py:377-392 loss_2d), now also optimizing per-image
+     log-focals and principal points (sparse_ga.py:444-449).
+   Each phase is one jitted Adam fori_loop, like the dense aligner.
 
-Deviations from the reference (documented): no coarse-to-fine crop
-refinement, no kinematic-chain pose graphs, and a 3D point-coincidence
-loss instead of the reference's mixed 3D + 2D-reprojection objective —
-the correspondence extraction and the optimize-poses-from-matches
-structure are the capability being provided.
+Remaining deviation from the reference (documented): poses are free
+per-image variables rather than a kinematic chain over the MST
+(sparse_ga.py:254-260), and per-pixel core_depth stays fixed at the
+predicted pointmaps — per-pixel depth refinement lives in
+init/depth_refine.py instead.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Callable, NamedTuple, Optional
 
 import numpy as np
 
@@ -48,12 +55,208 @@ def extract_matches(preds, subsample=8):
     return out
 
 
-def sparse_global_alignment(preds, matches=None, subsample=8, niter=200,
-                            lr=0.01, lr_min=1e-6, seed=0,
-                            robust_delta=0.1):
-    """-> (c2w [V,4,4], scales [V], final_loss).
+# -- coarse-to-fine crop refinement (mast3r/utils/coarse_to_fine.py) -------
+
+def _multiple_of_16(x):
+    return max((int(x) // 16) * 16, 16)
+
+
+def _start_positions(total, win, overlap):
+    """First window at 0, last at total-win, spacing <= win*(1-overlap)
+    (coarse_to_fine.py:18-26)."""
+    if total <= win:
+        return np.zeros(1, int)
+    spacing = win * (1 - overlap)
+    last = total - win
+    n = 2 + int((last - 1) // spacing)
+    return np.linspace(0, last, n).round().astype(int)
+
+
+def _overlapping_grid(h, w, maxdim, overlap):
+    """[K, 4] crop cells (x0, y0, x1, y1) tiling the image with windows of
+    long side `maxdim` (aspect preserved, /16 sizes;
+    coarse_to_fine.py:33-40)."""
+    scale = maxdim / max(h, w)
+    hw = _multiple_of_16(min(h, int(h * scale)))
+    ww = _multiple_of_16(min(w, int(w * scale)))
+    xs = _start_positions(w, ww, overlap)
+    ys = _start_positions(h, hw, overlap)
+    gx, gy = np.meshgrid(xs, ys)
+    cells = np.stack([gx, gy, gx + ww, gy + hw], -1).reshape(-1, 4)
+    return cells
+
+
+def _center_weight(cells, pts, assigned, gauss_var=2.0):
+    """Gaussian down-weighting of matches far from the crop center
+    (coarse_to_fine.py:91-101)."""
+    center = (cells[:, :2] + cells[:, 2:]) / 2.0
+    size = np.maximum(cells[:, 2:] - cells[:, :2], 1.0)
+    rel = (pts[None] - center[:, None]) / (size[:, None] / 2.0)
+    w = np.exp(-np.sum(rel**2, -1) / (2 * gauss_var))
+    return np.where(assigned, w, 0.0)
+
+
+def select_pairs_of_crops(shape1, shape2, xy1, xy2, maxdim=512,
+                          overlap=0.5, min_corres=10, target=0.9):
+    """-> list of (cell1 [4], cell2 [4]) int crop rectangles (x0,y0,x1,y1).
+
+    Clean-room equivalent of coarse_to_fine.py:184-215
+    `select_pairs_of_crops`: grid the query image into overlapping /16
+    windows, estimate each window's corresponding rectangle in the other
+    image from the assigned matches' center and 10-90% spread, score by
+    center-weighted coverage, run both directions, and greedily pick crop
+    pairs until `target` of the total coverable match weight is covered.
+    """
+    xy1 = np.asarray(xy1, np.float64)
+    xy2 = np.asarray(xy2, np.float64)
+    if len(xy1) < min_corres:
+        return []
+
+    def one_direction(shape_q, shape_b, pq, pb):
+        cells_q = _overlapping_grid(*shape_q, maxdim, overlap)
+        inside = ((pq[None, :, 0] >= cells_q[:, None, 0])
+                  & (pq[None, :, 0] < cells_q[:, None, 2])
+                  & (pq[None, :, 1] >= cells_q[:, None, 1])
+                  & (pq[None, :, 1] < cells_q[:, None, 3]))
+        keep = inside.sum(1) >= min_corres
+        cells_q, inside = cells_q[keep], inside[keep]
+        if not len(cells_q):
+            return (np.zeros((0, 4)), np.zeros((0, 4)),
+                    np.zeros((0, len(pq))))
+        pb_m = np.where(inside[:, :, None], pb[None], np.nan)
+        pq_m = np.where(inside[:, :, None], pq[None], np.nan)
+        center_b = np.nanmean(pb_m, axis=1)
+        q10_q, q90_q = np.nanquantile(pq_m, (0.1, 0.9), axis=1)
+        q10_b, q90_b = np.nanquantile(pb_m, (0.1, 0.9), axis=1)
+        std_q = np.clip(q90_q - q10_q, 20.0, None)
+        std_b = np.clip(q90_b - q10_b, 20.0, None)
+        size_b = (cells_q[:, 2:] - cells_q[:, :2]) * std_b / std_q
+        cells_b = np.concatenate(
+            [center_b - size_b / 2, center_b + size_b / 2], -1)
+        # clip to image, keep /16-friendly bounds
+        hb, wb = shape_b
+        cells_b[:, 0::2] = np.clip(cells_b[:, 0::2], 0, wb)
+        cells_b[:, 1::2] = np.clip(cells_b[:, 1::2], 0, hb)
+        weights = (_center_weight(cells_q, pq, inside)
+                   * _center_weight(cells_b, pb, inside))
+        return cells_q, cells_b, weights
+
+    c1a, c2a, wa = one_direction(shape1, shape2, xy1, xy2)
+    c2b, c1b, wb = one_direction(shape2, shape1, xy2, xy1)
+    cell1 = np.concatenate([c1a, c1b])
+    cell2 = np.concatenate([c2a, c2b])
+    weights = np.concatenate([wa, wb])
+    if not len(weights):
+        return []
+
+    # greedy set cover to `target` coverage (coarse_to_fine.py:156-182)
+    w = weights.copy()
+    total = w.max(0).sum()
+    goal = target * total
+    covered = np.zeros(w.shape[1])
+    order = []
+    while covered.sum() < goal and len(order) < len(w):
+        best = int(w.sum(1).argmax())
+        if w[best].sum() <= 0:
+            break
+        order.append(best)
+        covered += w[best]
+        w = np.clip(w - w[best], 0, None)
+    return [(cell1[i].astype(int), cell2[i].astype(int)) for i in order]
+
+
+def refine_matches_coarse_to_fine(
+    img1, img2, xy1, xy2,
+    infer_fn: Callable,
+    maxdim=512, overlap=0.5, subsample=4, min_corres=10,
+):
+    """Coarse matches -> finer matches via crop-pair re-inference.
+
+    The reference re-runs the network on selected crop pairs at native
+    resolution and re-matches (mast3r fine-matching pipeline around
+    coarse_to_fine.select_pairs_of_crops). `infer_fn(crop1, crop2)` must
+    return (desc1 [h,w,D], desc2 [h,w,D]) descriptor maps for the two
+    crops (any internal resolution; coordinates are rescaled back).
+
+    Returns (xy1_fine [M,2], xy2_fine [M,2]) in FULL-image pixel coords;
+    falls back to the coarse matches when no crop pair qualifies.
+    """
+    crops = select_pairs_of_crops(
+        np.asarray(img1).shape[:2], np.asarray(img2).shape[:2],
+        xy1, xy2, maxdim=maxdim, overlap=overlap, min_corres=min_corres)
+    if not crops:
+        return np.asarray(xy1), np.asarray(xy2)
+    out1, out2 = [], []
+    for cell1, cell2 in crops:
+        x0a, y0a, x1a, y1a = cell1
+        x0b, y0b, x1b, y1b = cell2
+        if x1a - x0a < 16 or y1a - y0a < 16 \
+                or x1b - x0b < 16 or y1b - y0b < 16:
+            continue
+        c1 = np.asarray(img1)[y0a:y1a, x0a:x1a]
+        c2 = np.asarray(img2)[y0b:y1b, x0b:x1b]
+        d1, d2 = infer_fn(c1, c2)
+        m1, m2 = fast_reciprocal_nns(d1, d2, subsample=subsample)
+        if not len(m1):
+            continue
+        s1 = np.array([c1.shape[1] / d1.shape[1],
+                       c1.shape[0] / d1.shape[0]])
+        s2 = np.array([c2.shape[1] / d2.shape[1],
+                       c2.shape[0] / d2.shape[0]])
+        out1.append(m1 * s1 + [x0a, y0a])
+        out2.append(m2 * s2 + [x0b, y0b])
+    if not out1:
+        return np.asarray(xy1), np.asarray(xy2)
+    f1 = np.concatenate(out1)
+    f2 = np.concatenate(out2)
+    # overlapping crops produce duplicates: dedup on rounded query coords
+    _, idx = np.unique(f1.round().astype(int), axis=0, return_index=True)
+    return f1[np.sort(idx)], f2[np.sort(idx)]
+
+
+# -- two-phase sparse optimizer (sparse_ga.py:158-463) ---------------------
+
+class SparseGAResult(NamedTuple):
+    c2w: np.ndarray  # [V, 4, 4]
+    scales: np.ndarray  # [V]
+    focals: np.ndarray  # [V]
+    loss: float
+
+
+def _gamma_np(gamma):
+    """Reference gamma_loss (mast3r/cloud_opt/utils/losses.py:19-28):
+    (d + offset)^gamma - offset^gamma with unit slope at d=0."""
+    import jax.numpy as jnp
+
+    if gamma == 1.0:
+        return lambda d: d
+    offset = (1.0 / gamma) ** (1.0 / (gamma - 1.0))
+
+    def f(d):
+        return (d + offset) ** gamma - offset ** gamma
+
+    return f
+
+
+def sparse_global_alignment(
+    preds,
+    matches=None,
+    subsample=8,
+    niter1=300, lr1=0.07,
+    niter2=300, lr2=0.014,
+    lr_min=1e-6,
+    gamma1=1.1, gamma2=0.4,
+    matching_conf_thr=0.0, min_matches=8, loss_dust3r_w=0.01,
+    anchor3d_w=10.0,
+    focals: Optional[np.ndarray] = None,
+    seed=0,
+):
+    """-> SparseGAResult(c2w [V,4,4], scales [V], focals [V], loss).
 
     preds: PairPrediction with descriptors; view 0 anchors the gauge.
+    Phase hyperparameters mirror sparse_ga.py:160-162 (lr1=0.2/niter1=500/
+    gamma 1.1; lr2=0.02/niter2=500/gamma 0.4) scaled to this
+    parameterization; `focals` overrides the per-image Weiszfeld init.
     """
     import jax
     import jax.numpy as jnp
@@ -64,99 +267,206 @@ def sparse_global_alignment(preds, matches=None, subsample=8, niter=200,
         matches = extract_matches(preds, subsample=subsample)
     v = preds.n_imgs
     h, w = preds.imshape
+    diag = float(np.hypot(h, w))
 
-    # constraint list: (img_i, pt_in_i_frame, img_j, pt_in_j_frame, weight)
-    own = {}  # own-frame pointmaps per image (from its directed edges)
-    conf_own = {}
+    # own-frame pointmaps per image (from its directed edges)
+    own, conf_own = {}, {}
     for e, (i, j) in enumerate(preds.edges):
         if i not in own:
-            own[i] = preds.pred_i[e]
-            conf_own[i] = preds.conf_i[e]
-    ai, aj, pi, pj, wgt = [], [], [], [], []
+            own[i] = np.asarray(preds.pred_i[e])
+            conf_own[i] = np.asarray(preds.conf_i[e])
+
+    # constraint list over strong (matched) edges + weak-edge fallbacks
+    ai, aj, pi, pj, x1, x2, wgt, strong = ([] for _ in range(8))
+    gy, gx = np.mgrid[subsample // 2:h:subsample,
+                      subsample // 2:w:subsample]
+    grid = np.stack([gx.ravel(), gy.ravel()], -1)
     for e, (i, j) in enumerate(preds.edges):
         xy1, xy2 = matches[e]
-        if len(xy1) == 0:
-            continue
-        # x1's 3D point in i's own frame; x2's 3D point in j's own frame
-        p_i = own[i][xy1[:, 1], xy1[:, 0]]
-        p_j = own[j][xy2[:, 1], xy2[:, 0]]
-        c = np.minimum(conf_own[i][xy1[:, 1], xy1[:, 0]],
-                       conf_own[j][xy2[:, 1], xy2[:, 0]])
-        ai.append(np.full(len(xy1), i))
-        aj.append(np.full(len(xy1), j))
-        pi.append(p_i)
-        pj.append(p_j)
-        wgt.append(np.log(np.clip(c, 1e-8, None)))
+        c = None
+        if len(xy1) >= min_matches:
+            c = np.minimum(conf_own[i][xy1[:, 1], xy1[:, 0]],
+                           conf_own[j][xy2[:, 1], xy2[:, 0]])
+        if c is not None and float(c.max()) > matching_conf_thr:
+            ai.append(np.full(len(xy1), i))
+            aj.append(np.full(len(xy1), j))
+            pi.append(own[i][xy1[:, 1], xy1[:, 0]])
+            pj.append(own[j][xy2[:, 1], xy2[:, 0]])
+            x1.append(np.asarray(xy1, np.float32))
+            x2.append(np.asarray(xy2, np.float32))
+            wgt.append(np.log(np.clip(c, 1e-8, None)))
+            strong.append(np.ones(len(xy1), bool))
+        else:
+            # DUSt3R-regression fallback on the anchor grid
+            # (sparse_ga.py:307-315): j's points seen in i's frame vs j's
+            # own points, both mapped to world by their sim3s
+            ai.append(np.full(len(grid), i))
+            aj.append(np.full(len(grid), j))
+            pi.append(np.asarray(preds.pred_j[e])[grid[:, 1], grid[:, 0]])
+            pj.append(own[j][grid[:, 1], grid[:, 0]])
+            x1.append(np.asarray(grid, np.float32))
+            x2.append(np.asarray(grid, np.float32))
+            cw = np.asarray(preds.conf_j[e])[grid[:, 1], grid[:, 0]]
+            wgt.append(np.log(np.clip(cw, 1e-8, None)))
+            strong.append(np.zeros(len(grid), bool))
     ai = jnp.asarray(np.concatenate(ai), jnp.int32)
     aj = jnp.asarray(np.concatenate(aj), jnp.int32)
     pi = jnp.asarray(np.concatenate(pi), jnp.float32)
+    pj_np_list = pj
     pj = jnp.asarray(np.concatenate(pj), jnp.float32)
+    x1 = jnp.asarray(np.concatenate(x1), jnp.float32)
+    x2 = jnp.asarray(np.concatenate(x2), jnp.float32)
     wgt = jnp.asarray(np.concatenate(wgt), jnp.float32)
+    strong = jnp.asarray(np.concatenate(strong))
+    # scene-scale normalizer for the 3D terms: keeps gamma-loss curvature
+    # and the 2D/3D weighting unit-free across scenes (the reference pins
+    # units via base_scale/global_scaling, sparse_ga.py:263-266)
+    scene_norm = float(np.median(np.linalg.norm(
+        np.concatenate(pj_np_list), axis=1))) or 1.0
+    w_strong = wgt * strong
+    w_weak = wgt * (1 - strong)
+    n_strong = jnp.maximum(jnp.sum(w_strong), 1e-8)
+    n_weak = jnp.maximum(jnp.sum(w_weak), 1e-8)
+
+    # per-image focal init (Weiszfeld on the own-frame pointmap,
+    # dust3r/post_process.py:33-56), pp at the image center
+    if focals is None:
+        f0 = np.empty(v)
+        got = [G.estimate_focal_weiszfeld(own[i]) for i in sorted(own)]
+        mean_f = float(np.mean(got)) if got else 0.8 * max(h, w)
+        for i in range(v):
+            f0[i] = (G.estimate_focal_weiszfeld(own[i])
+                     if i in own else mean_f)
+    else:
+        f0 = np.broadcast_to(np.asarray(focals, np.float64), (v,)).copy()
 
     rng = np.random.default_rng(seed)
-    params = jnp.asarray(
-        np.concatenate([
+    params = dict(
+        pose=jnp.asarray(
             np.tile([1, 0, 0, 0, 0, 0, 0, 0], (v, 1))
-            + rng.standard_normal((v, 8)) * 0.01,
-        ], 1), jnp.float32)
+            + rng.standard_normal((v, 8)) * 0.01, jnp.float32),
+        log_focal=jnp.asarray(np.log(f0), jnp.float32),
+        pp=jnp.asarray(np.tile([w / 2.0, h / 2.0], (v, 1)), jnp.float32),
+    )
+
+    g1 = _gamma_np(gamma1)
+    g2 = _gamma_np(gamma2)
+    gd = _gamma_np(1.1)  # lossd = gamma_loss(1.1), sparse_ga.py:162
 
     def decode(p):
-        q = T.quat_normalize(p[:, :4])
-        R = T.quat_to_rotmat(q)
-        t = G.signed_expm1(p[:, 4:7])
-        s = jnp.exp(p[:, 7])
-        return R, t, s
-
-    def loss_fn(p):
-        # gauge: fix image 0 (identity, unit scale) by masking its params
         mask = (jnp.arange(v) > 0).astype(jnp.float32)[:, None]
-        wp = p * mask + jnp.asarray(
+        wp = p["pose"] * mask + jnp.asarray(
             [1, 0, 0, 0, 0, 0, 0, 0], jnp.float32)[None] * (1 - mask)
-        R, t, s = decode(wp)
-        # world points of each side
+        q = T.quat_normalize(wp[:, :4])
+        R = T.quat_to_rotmat(q)
+        t = G.signed_expm1(wp[:, 4:7])
+        s = jnp.exp(wp[:, 7])
+        f = jnp.clip(jnp.exp(p["log_focal"]),
+                     0.25 * diag, 10.0 * diag)  # sparse_ga.py:226-228
+        return R, t, s, f, p["pp"]
+
+    def world_points(R, t, s):
         w1 = jnp.einsum("nij,nj->ni", R[ai], pi) * s[ai][:, None] + t[ai]
         w2 = jnp.einsum("nij,nj->ni", R[aj], pj) * s[aj][:, None] + t[aj]
-        d = jnp.sqrt(jnp.sum((w1 - w2) ** 2, -1) + 1e-12)
-        # Huber: reciprocal-NN matching produces occasional gross outliers
-        # (repetitive texture); cap their influence
-        hub = jnp.where(d <= robust_delta, 0.5 * d * d / robust_delta,
-                        d - 0.5 * robust_delta)
-        return jnp.sum(hub * wgt) / jnp.maximum(jnp.sum(wgt), 1e-8)
+        return w1, w2
 
-    @functools.partial(jax.jit, static_argnames=("niter",))
-    def run(p, niter: int):
-        m = jnp.zeros_like(p)
-        vv = jnp.zeros_like(p)
+    def loss_weak(w1, w2):
+        d = jnp.sqrt(jnp.sum((w1 - w2) ** 2, -1) + 1e-12) / scene_norm
+        return jnp.sum(gd(d) * w_weak) / n_weak
 
-        def step(it, carry):
-            p, m, vv = carry
-            tt = it.astype(jnp.float32)
-            cur = lr_min + (lr - lr_min) * (
-                1 + jnp.cos(jnp.pi * tt / niter)) / 2
-            l, g = jax.value_and_grad(loss_fn)(p)
-            m = 0.9 * m + 0.1 * g
-            vv = 0.9 * vv + 0.1 * g * g
-            bc1 = 1 - 0.9 ** (tt + 1)
-            upd = cur * (m / bc1) / (jnp.sqrt(vv / bc1) + 1e-8)
-            return p - upd, m, vv
+    def loss_coarse(p):
+        R, t, s, _, _ = decode(p)
+        w1, w2 = world_points(R, t, s)
+        d = jnp.sqrt(jnp.sum((w1 - w2) ** 2, -1) + 1e-12) / scene_norm
+        l3d = jnp.sum(g1(d) * w_strong) / n_strong
+        return l3d + loss_dust3r_w * loss_weak(w1, w2)
 
-        p, m, vv = jax.lax.fori_loop(0, niter, step, (p, m, vv))
-        return p, loss_fn(p)
+    def reproj(Rk, tk, sk, fk, ppk, world):
+        cam = jnp.einsum("nji,nj->ni", Rk, world - tk) / sk[:, None]
+        z = jnp.maximum(cam[:, 2], 1e-6)
+        return fk[:, None] * cam[:, :2] / z[:, None] + ppk
 
-    params, final = run(params, niter)
-    params = np.array(params, copy=True)
-    params[0] = [1, 0, 0, 0, 0, 0, 0, 0]  # gauge anchor
-    c2w = []
-    scales = np.exp(params[:, 7])
+    def loss_fine(p):
+        R, t, s, f, pp = decode(p)
+        w1, w2 = world_points(R, t, s)
+        # project the OTHER side's 3D point into this image vs the matched
+        # pixel (sparse_ga.py:377-392), both directions
+        u1 = reproj(R[ai], t[ai], s[ai], f[ai], pp[ai], w2)
+        u2 = reproj(R[aj], t[aj], s[aj], f[aj], pp[aj], w1)
+        d1 = jnp.sqrt(jnp.sum((u1 - x1) ** 2, -1) + 1e-12)
+        d2 = jnp.sqrt(jnp.sum((u2 - x2) ** 2, -1) + 1e-12)
+        l2d = jnp.sum((g2(d1) + g2(d2)) * w_strong) / (2 * n_strong)
+        # 3D coincidence anchor: with free per-image poses (no kinematic
+        # chain / depth reparameterization, see module docstring) the
+        # reprojection objective alone leaves depth-direction translation
+        # and per-image scale nearly unconstrained (u = f*x/z is invariant
+        # to scaling the camera-frame point), so the metric structure is
+        # pinned by keeping the coarse 3D term active — the role the
+        # reference's chain + core_depth parameterization plays
+        # (sparse_ga.py:254-283)
+        d3 = jnp.sqrt(jnp.sum((w1 - w2) ** 2, -1) + 1e-12) / scene_norm
+        l3d = jnp.sum(g1(d3) * w_strong) / n_strong
+        return (l2d + anchor3d_w * l3d
+                + loss_dust3r_w * loss_weak(w1, w2))
+
+    def make_run(loss_fn, fine: bool):
+        @functools.partial(jax.jit, static_argnames=("niter", "lr"))
+        def run(p, niter: int, lr: float):
+            m = jax.tree.map(jnp.zeros_like, p)
+            vv = jax.tree.map(jnp.zeros_like, p)
+
+            def step(it, carry):
+                p, m, vv = carry
+                tt = it.astype(jnp.float32)
+                cur = lr_min + (lr - lr_min) * (
+                    1 + jnp.cos(jnp.pi * tt / niter)) / 2
+                _, grads = jax.value_and_grad(loss_fn)(p)
+                if not fine:  # coarse phase: poses only (sparse_ga.py:432-439)
+                    grads = dict(grads, log_focal=jnp.zeros_like(
+                        grads["log_focal"]), pp=jnp.zeros_like(grads["pp"]))
+                bc1 = 1 - 0.9 ** (tt + 1)
+
+                def upd(p_, g, m_, v_):
+                    m_ = 0.9 * m_ + 0.1 * g
+                    v_ = 0.9 * v_ + 0.1 * g * g
+                    return (p_ - cur * (m_ / bc1)
+                            / (jnp.sqrt(v_ / bc1) + 1e-8), m_, v_)
+
+                out = jax.tree.map(upd, p, grads, m, vv)
+                unzip = lambda k: jax.tree.map(  # noqa: E731
+                    lambda o: o[k], out,
+                    is_leaf=lambda x: isinstance(x, tuple))
+                return unzip(0), unzip(1), unzip(2)
+
+            p, m, vv = jax.lax.fori_loop(0, niter, step, (p, m, vv))
+            return p, loss_fn(p)
+
+        return run
+
+    final = np.nan
+    if niter1:
+        params, final = make_run(loss_coarse, fine=False)(
+            params, niter1, lr1)
+    if niter2:
+        params, final = make_run(loss_fine, fine=True)(
+            params, niter2, lr2)
+
+    pose = np.array(params["pose"], copy=True)
+    pose[0] = [1, 0, 0, 0, 0, 0, 0, 0]  # gauge anchor
+    scales = np.exp(pose[:, 7])
+    focals_out = np.clip(
+        np.exp(np.asarray(params["log_focal"], np.float64)),
+        0.25 * diag, 10.0 * diag)
     from instantsplat_tpu.data.colmap import qvec_to_rotmat
 
+    c2w = []
     for k in range(v):
-        q = params[k, :4] / np.linalg.norm(params[k, :4])
+        q = pose[k, :4] / np.linalg.norm(pose[k, :4])
         # numpy: per-view eager jnp would dispatch tiny ops to the device
         # (see transforms.matrix_to_pose_np docstring)
         Rk = qvec_to_rotmat(q)
         m = np.eye(4)
         m[:3, :3] = Rk
-        m[:3, 3] = G.signed_expm1(params[k, 4:7].astype(np.float64))
+        m[:3, 3] = G.signed_expm1(pose[k, 4:7].astype(np.float64))
         c2w.append(m)
-    return np.stack(c2w), scales, float(final)
+    return SparseGAResult(np.stack(c2w), scales, focals_out, float(final))

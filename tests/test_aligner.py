@@ -177,13 +177,14 @@ def test_sparse_global_alignment():
         for e, (i, j) in enumerate(preds.edges)
     ])
 
-    c2w, scales, loss = sparse_global_alignment(preds, subsample=4,
-                                                niter=300)
+    c2w, scales, focals, loss = sparse_global_alignment(
+        preds, subsample=4, niter1=300, niter2=150)
     assert np.isfinite(loss)
     rot, t = _relative_pose_error(c2w, c2w_gt)
     assert rot < 0.05, rot
     assert t < 0.15, t
     np.testing.assert_allclose(scales, 1.0, atol=0.2)
+    np.testing.assert_allclose(focals, focal, rtol=0.15)
 
 
 def test_triangulate_matches():
@@ -234,3 +235,125 @@ def test_tsdf_refine_improves_noisy_depth():
     err_before = np.abs(noisy[sl] - gt[sl]).mean()
     err_after = np.abs(refined[sl] - gt[sl]).mean()
     assert err_after < err_before * 0.7, (err_before, err_after)
+
+
+def test_sparse_fine_phase_recovers_focal():
+    """The 2D-reprojection fine phase (sparse_ga.py:377-392,444-449) fixes
+    what the 3D-only loss cannot touch: the 3D point-coincidence objective
+    has NO focal dependence, so a wrong focal init survives niter2=0 but is
+    pulled toward truth once the reprojection term runs (VERDICT r1 item
+    7's acceptance case)."""
+    from instantsplat_tpu.init.sparse_align import sparse_global_alignment
+
+    c2w_gt, focal, preds = _synthetic_scene(n_views=3)
+
+    def desc_of(pts_in_frame, c2w_i):
+        world = pts_in_frame @ c2w_i[:3, :3].T + c2w_i[:3, 3]
+        x, y = world[..., 0], world[..., 1]
+        f = np.stack([
+            x, y, np.sin(0.5 * x), np.cos(0.4 * y),
+            np.sin(0.3 * (x + y)), np.ones_like(x),
+        ], -1)
+        return (f / np.linalg.norm(f, axis=-1, keepdims=True)).astype(
+            np.float32)
+
+    preds.desc_i = np.stack([
+        desc_of(preds.pred_i[e], c2w_gt[i])
+        for e, (i, j) in enumerate(preds.edges)
+    ])
+    preds.desc_j = np.stack([
+        desc_of(preds.pred_j[e], c2w_gt[i])
+        for e, (i, j) in enumerate(preds.edges)
+    ])
+
+    bad_f = 0.6 * focal
+    res0 = sparse_global_alignment(preds, subsample=4, niter1=300,
+                                   niter2=0, focals=np.full(3, bad_f))
+    res1 = sparse_global_alignment(preds, subsample=4, niter1=300,
+                                   niter2=300, focals=np.full(3, bad_f))
+    # coarse-only: focal untouched (3D loss has no focal gradient)
+    np.testing.assert_allclose(res0.focals, bad_f, rtol=1e-6)
+    # fine phase: reprojection pulls focal most of the way to truth
+    err0 = abs(bad_f - focal) / focal
+    err1 = np.abs(res1.focals - focal).max() / focal
+    assert err1 < 0.5 * err0, (res1.focals, focal)
+
+
+def test_select_pairs_of_crops_covers_matches():
+    from instantsplat_tpu.init.sparse_align import select_pairs_of_crops
+
+    rng = np.random.default_rng(0)
+    # correspondences clustered in two blobs of a 96x128 image pair
+    blob1 = rng.uniform([5, 5], [40, 40], (30, 2))
+    blob2 = rng.uniform([80, 50], [120, 90], (30, 2))
+    xy1 = np.concatenate([blob1, blob2])
+    xy2 = xy1 + [4.0, 2.0]
+    crops = select_pairs_of_crops((96, 128), (96, 128), xy1, xy2,
+                                  maxdim=64, overlap=0.5)
+    assert len(crops) >= 1
+    covered = np.zeros(len(xy1), bool)
+    for c1, c2 in crops:
+        assert 0 <= c1[0] < c1[2] <= 128 and 0 <= c1[1] < c1[3] <= 96
+        assert 0 <= c2[0] < c2[2] <= 128 and 0 <= c2[1] < c2[3] <= 96
+        covered |= ((xy1[:, 0] >= c1[0]) & (xy1[:, 0] < c1[2])
+                    & (xy1[:, 1] >= c1[1]) & (xy1[:, 1] < c1[3]))
+    assert covered.mean() > 0.8, covered.mean()
+
+
+def test_refine_matches_coarse_to_fine():
+    """Crop re-inference densifies matches and keeps them geometrically
+    consistent (same world point => same descriptor)."""
+    from instantsplat_tpu.init.sparse_align import (
+        refine_matches_coarse_to_fine,
+    )
+
+    h, w = 96, 128
+    shift = np.array([6.0, 3.0])
+
+    def world_of(xy):  # a smooth injective "world coordinate" per pixel
+        return np.stack([xy[..., 0] * 0.1, xy[..., 1] * 0.1], -1)
+
+    def desc_map(origin, shape, img_shift):
+        gy, gx = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float64)
+        xy = np.stack([gx + origin[0], gy + origin[1]], -1) - img_shift
+        wp = world_of(xy)
+        f = np.stack([wp[..., 0], wp[..., 1],
+                      np.sin(0.7 * wp[..., 0]), np.cos(0.5 * wp[..., 1]),
+                      np.ones(shape)], -1)
+        return (f / np.linalg.norm(f, axis=-1, keepdims=True)).astype(
+            np.float32)
+
+    img1 = np.zeros((h, w, 3))
+    img2 = np.zeros((h, w, 3))
+    # coarse matches on a sparse grid (img2 content shifted by `shift`)
+    gy, gx = np.mgrid[8:h - 8:12, 8:w - 16:12]
+    xy1 = np.stack([gx.ravel(), gy.ravel()], -1).astype(float)
+    xy2 = xy1 + shift
+
+    calls = []
+
+    def infer_fn(c1, c2, _origins=[]):
+        # descriptors encode the same world field in both crops
+        i = len(calls)
+        calls.append((c1.shape, c2.shape))
+        return infer_fn.descs[i]
+
+    # precompute per-crop descriptor maps by replaying crop selection
+    from instantsplat_tpu.init.sparse_align import select_pairs_of_crops
+
+    crops = select_pairs_of_crops((h, w), (h, w), xy1, xy2,
+                                  maxdim=48, overlap=0.5)
+    assert crops, "selection must produce crop pairs"
+    infer_fn.descs = [
+        (desc_map(c1[:2], (c1[3] - c1[1], c1[2] - c1[0]), np.zeros(2)),
+         desc_map(c2[:2], (c2[3] - c2[1], c2[2] - c2[0]), shift))
+        for c1, c2 in crops
+    ]
+    f1, f2 = refine_matches_coarse_to_fine(
+        img1, img2, xy1, xy2, infer_fn, maxdim=48, overlap=0.5,
+        subsample=2)
+    assert len(f1) > len(xy1), (len(f1), len(xy1))
+    # every refined match must satisfy the true correspondence (+- 1px from
+    # descriptor grid quantization)
+    np.testing.assert_allclose(f2 - f1, np.tile(shift, (len(f1), 1)),
+                               atol=1.5)
