@@ -104,8 +104,15 @@ def main():
 
     it = run_blocks(TRAIN_IN // SCAN_K, 1)  # burn-in to mid-training state
     it = run_blocks(WARMUP_BLOCKS, it)
+    # optional profile of the timed region (INSTANTSPLAT_PROFILE_DIR=...);
+    # off by default to keep the one-JSON-line contract
+    import os as _os
+
+    from instantsplat_tpu.utils.profiling import profile_trace
+
     t0 = time.perf_counter()
-    run_blocks(BLOCKS, it)
+    with profile_trace(_os.environ.get("INSTANTSPLAT_PROFILE_DIR")):
+        run_blocks(BLOCKS, it)
     dt = time.perf_counter() - t0
 
     mpix_s = H * W * BLOCKS * SCAN_K / dt / 1e6

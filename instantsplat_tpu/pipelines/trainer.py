@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from instantsplat_tpu.models.camera import Camera, stack_cameras
+from instantsplat_tpu.utils import profiling
 from instantsplat_tpu.models.gaussians import GaussianModel
 from instantsplat_tpu.opt.gaussian_opt import (
     AdamState,
@@ -53,6 +54,10 @@ class TrainerConfig:
     # removes per-iteration host round-trips). Disabled automatically when a
     # live viewer needs per-iteration polling.
     scan: bool = True
+    # When set, wrap the second (warm, post-compile) training block in a
+    # jax.profiler trace written to this directory (SURVEY.md §5;
+    # utils/profiling.py). No-op on backends without profiler support.
+    profile_dir: str | None = None
 
 
 def make_train_step(
@@ -224,6 +229,7 @@ def train_joint(
             trainer_cfg.backend, trainer_cfg.chunk,
         )
         it = first_iter + 1
+        block_idx = 0
         while it <= trainer_cfg.iterations:
             interval = trainer_cfg.sh_up_interval
             active_sh = min(it // interval, params.max_sh_degree)
@@ -238,10 +244,17 @@ def train_joint(
             view_ids = np.array([next_view() for _ in range(it, end + 1)],
                                 np.int32)
             iters = np.arange(it, end + 1, dtype=np.int32)
-            params, opt_state, metrics = block_fn(
-                params, opt_state, jnp.asarray(view_ids), jnp.asarray(iters),
-                active_sh,
-            )
+            # trace block 1 (block 0 pays the compile) when profiling is on
+            do_trace = trainer_cfg.profile_dir is not None and block_idx == 1
+            with profiling.profile_trace(trainer_cfg.profile_dir,
+                                         enabled=do_trace):
+                params, opt_state, metrics = block_fn(
+                    params, opt_state, jnp.asarray(view_ids),
+                    jnp.asarray(iters), active_sh,
+                )
+                if do_trace:
+                    jax.block_until_ready(metrics)
+            block_idx += 1
             if end % trainer_cfg.log_every == 0 or end == trainer_cfg.iterations:
                 log(end, metrics)
             it = end + 1

@@ -114,3 +114,52 @@ def test_pose_viz_writes_png(tmp_path):
     mats[:, :3, 3] = np.linspace(0, 1, 5)[:, None]
     out = plot_pose(mats, mats, tmp_path / "pose_vis.png")
     assert (tmp_path / "pose_vis.png").exists()
+
+
+def test_profile_trace_writes_trace(tmp_path):
+    """SURVEY §5 profiling subsystem: a traced jitted region produces a
+    TensorBoard-plugin trace directory; no-op when disabled."""
+    import jax
+    import jax.numpy as jnp
+
+    from instantsplat_tpu.utils.profiling import annotate, profile_trace
+
+    logdir = tmp_path / "trace"
+    with profile_trace(logdir):
+        with annotate("golden-matmul"):
+            x = jax.jit(lambda a: a @ a)(jnp.ones((64, 64)))
+            jax.block_until_ready(x)
+    produced = list(logdir.rglob("*"))
+    assert any(p.is_file() for p in produced), produced
+
+    with profile_trace(None):  # disabled: must be a clean no-op
+        pass
+
+
+def test_trainer_profile_dir(tmp_path):
+    """TrainerConfig.profile_dir traces the second scanned block."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from instantsplat_tpu.models.camera import Camera
+    from instantsplat_tpu.models.gaussians import GaussianModel
+    from instantsplat_tpu.opt import OptimizationConfig
+    from instantsplat_tpu.pipelines.trainer import TrainerConfig, train_joint
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    pts = jax.random.normal(ks[0], (128, 3)) * 0.5 + jnp.array([0., 0., 3.])
+    cols = jax.random.uniform(ks[1], (128, 3))
+    poses = jnp.tile(jnp.array([1., 0, 0, 0, 0, 0, 0]), (1, 1))
+    g = GaussianModel.create_from_pcd(pts, cols, cam_poses=poses,
+                                      max_sh_degree=0)
+    cam = Camera.create(np.eye(3), np.zeros(3), fx=40., fy=40.,
+                        height=16, width=24, uid=0,
+                        image=jnp.zeros((16, 24, 3)))
+    logdir = tmp_path / "prof"
+    train_joint(g, [cam],
+                opt_cfg=OptimizationConfig(optim_pose=False),
+                trainer_cfg=TrainerConfig(iterations=4, log_every=2,
+                                          profile_dir=str(logdir)))
+    assert any(p.is_file() for p in logdir.rglob("*"))
