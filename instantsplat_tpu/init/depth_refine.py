@@ -1,16 +1,18 @@
 """Depth refinement + triangulation utilities (mast3r cloud_opt family).
 
-Compact TPU-native counterparts of mast3r/cloud_opt/tsdf_optimizer.py and
+TPU-native counterparts of mast3r/cloud_opt/tsdf_optimizer.py and
 mast3r/cloud_opt/triangulation.py (used by the MASt3R demo pipeline;
 InstantSplat proper never calls them — provided for toolset completeness):
 
-- `tsdf_refine_depth`: nudge each view's depth map toward the truncated
-  signed-distance consensus of the other views — each pixel's 3D point is
-  projected into every other view, the signed depth difference is
-  truncated at +-trunc, confidence-weighted, and averaged into a
-  correction. One jitted update, iterated a few times (the reference
-  instead runs an Adam loop over per-pixel TSDF residuals; same fixed
-  point, fewer moving parts).
+- `tsdf_refine_depth`: the reference's TSDF zero-level random search
+  (tsdf_optimizer.py:34-82 `_refine_depths_with_TSDF` + :84-112
+  `_TSDF_query`): per pixel, sample candidate depths around the current
+  estimate with a threshold-scaled spread, evaluate the confidence-
+  weighted multi-view TSDF at each candidate's 3D point, and keep the
+  candidate whose |TSDF| is closest to zero; flat/unseen pixels (every
+  sample at the truncation floor) are left untouched. The per-view torch
+  loop + 1e7-point batching becomes one jitted vmap over views with a
+  lax.map over sample chunks.
 - `triangulate_matches`: midpoint triangulation of matched pixel pairs
   given intrinsics + c2w poses (triangulation.py's role for two-view
   match lifting).
@@ -25,25 +27,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter",))
+@functools.partial(
+    jax.jit, static_argnames=("n_iter", "nsamples", "sample_chunk"))
 def tsdf_refine_depth(depthmaps, intrinsics, c2w, confs=None, trunc=0.1,
-                      lr=0.5, n_iter: int = 3):
+                      n_iter: int = 1, nsamples: int = 128,
+                      sample_chunk: int = 32, key=None):
     """depthmaps [V,H,W], intrinsics [V,3,3], c2w [V,4,4],
-    confs [V,H,W] (optional weights) -> refined [V,H,W]."""
+    confs [V,H,W] (linear weights; the reference stores log-confs and
+    exponentiates, tsdf_optimizer.py:105) -> refined [V,H,W].
+
+    Semantics match the reference exactly (tsdf_optimizer.py:46-82):
+    iteration `it` searches with threshold (n_iter - it) * trunc, offsets
+    ~ (N(0,1) - 1) * curthresh, the TSDF is clip(pred_depth - proj_depth,
+    -curthresh, +inf) averaged over views where the point is seen
+    (SDF >= -curthresh) and in-bounds, and queries always read the
+    ORIGINAL depthmaps (the reference's _get_depthmaps(None)), so views
+    refine independently.
+    """
     depthmaps = jnp.asarray(depthmaps, jnp.float32)
     K = jnp.asarray(intrinsics, jnp.float32)
     c2w = jnp.asarray(c2w, jnp.float32)
     v, h, w = depthmaps.shape
     if confs is None:
         confs = jnp.ones((v, h, w), jnp.float32)
+    if key is None:
+        key = jax.random.PRNGKey(0)
     w2c = jnp.linalg.inv(c2w)
     gx, gy = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
     grid = jnp.stack([gx, gy], -1).astype(jnp.float32)  # [H,W,2]
-
-    def unproject(d, Ki, c2wi):
-        xy = (grid - K_pp(Ki)) / K_f(Ki)
-        pts = jnp.concatenate([xy * d[..., None], d[..., None]], -1)
-        return pts.reshape(-1, 3) @ c2wi[:3, :3].T + c2wi[:3, 3]
 
     def K_f(Ki):
         return jnp.stack([Ki[0, 0], Ki[1, 1]])
@@ -51,38 +62,63 @@ def tsdf_refine_depth(depthmaps, intrinsics, c2w, confs=None, trunc=0.1,
     def K_pp(Ki):
         return jnp.stack([Ki[0, 2], Ki[1, 2]])
 
-    def one_iter(_, d):
-        def per_view(i):
-            pts_w = unproject(d[i], K[i], c2w[i])  # [HW, 3]
+    def tsdf_query(q, curthresh):
+        """[N,3] world points -> (tsdf [N], valid [N]);
+        tsdf_optimizer.py:84-112."""
 
-            def vs_other(j):
-                pc = pts_w @ w2c[j, :3, :3].T + w2c[j, :3, 3]
-                z = pc[:, 2]
-                uv = pc[:, :2] / jnp.maximum(z[:, None], 1e-6) * K_f(
-                    K[j]) + K_pp(K[j])
-                ui = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0,
-                              w - 1)
-                vi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0,
-                              h - 1)
-                dj = d[j][vi, ui]
-                cj = confs[j][vi, ui]
-                inside = ((uv[:, 0] >= 0) & (uv[:, 0] < w)
-                          & (uv[:, 1] >= 0) & (uv[:, 1] < h) & (z > 0))
-                # signed distance along the ray, truncated
-                sd = jnp.clip(dj - z, -trunc, trunc)
-                valid = inside & (jnp.abs(dj - z) < 2 * trunc) & (j != i)
-                wgt = jnp.where(valid, cj, 0.0)
-                return sd * wgt, wgt
+        def per_view(j):
+            pc = q @ w2c[j, :3, :3].T + w2c[j, :3, 3]
+            z = pc[:, 2]
+            uv = pc[:, :2] / jnp.maximum(z[:, None], 1e-6) * K_f(
+                K[j]) + K_pp(K[j])
+            ui = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
+            vi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
+            inside = ((uv[:, 0] >= -0.5) & (uv[:, 0] < w - 0.5)
+                      & (uv[:, 1] >= -0.5) & (uv[:, 1] < h - 0.5)
+                      & (z > 0))
+            sdf = depthmaps[j][vi, ui] - z
+            unseen = sdf < -curthresh  # visibility handling
+            tsdf = jnp.maximum(sdf, -curthresh)  # clip(-thresh, +inf)
+            wgt = jnp.where(inside & ~unseen, confs[j][vi, ui], 0.0)
+            return tsdf * wgt, wgt
 
-            sds, wgts = jax.vmap(vs_other)(jnp.arange(v))
-            corr = jnp.sum(sds, 0) / jnp.maximum(jnp.sum(wgts, 0), 1e-8)
-            # correction is along the other view's ray; scale to this
-            # view's depth axis via z ratio ~ 1 (small-baseline regime)
-            return d[i] + lr * corr.reshape(h, w)
+        ts, ws = jax.vmap(per_view)(jnp.arange(v))
+        wsum = jnp.sum(ws, 0)
+        valid = wsum > 0
+        return jnp.sum(ts, 0) / jnp.maximum(wsum, 1e-20), valid
 
-        return jax.vmap(per_view)(jnp.arange(v))
+    def refine_view(dm, Ki, c2wi, kv, curthresh):
+        offs = (jax.random.normal(kv, (h, w, nsamples)) - 1.0) * curthresh
+        newdm = dm[..., None] + offs  # [H,W,S]
 
-    return jax.lax.fori_loop(0, n_iter, one_iter, depthmaps)
+        def eval_chunk(nd):  # [H,W,C] candidate depths -> |tsdf| or inf
+            xy = (grid - K_pp(Ki)) / K_f(Ki)
+            pts = jnp.concatenate(
+                [xy[..., None, :] * nd[..., None], nd[..., None]], -1)
+            pts = pts.reshape(-1, 3) @ c2wi[:3, :3].T + c2wi[:3, 3]
+            tsdf, valid = tsdf_query(pts, curthresh)
+            return jnp.where(valid, jnp.abs(tsdf),
+                             jnp.inf).reshape(h, w, -1)
+
+        nc = max(nsamples // sample_chunk, 1)
+        chunks = jnp.moveaxis(
+            newdm.reshape(h, w, nc, -1), 2, 0)  # [nc,H,W,C]
+        tsdf_abs = jnp.moveaxis(jax.lax.map(eval_chunk, chunks),
+                                0, 2).reshape(h, w, nsamples)
+        mins = jnp.argmin(tsdf_abs, -1)
+        # flat zone: every sample sits at the truncation floor -> no move
+        allbad = jnp.sum(tsdf_abs == curthresh, -1) == nsamples
+        best = jnp.take_along_axis(newdm, mins[..., None], -1)[..., 0]
+        return jnp.where(allbad, dm, best)
+
+    out = depthmaps
+    for it in range(n_iter):
+        curthresh = (n_iter - it) * trunc
+        key, sub = jax.random.split(key)
+        kv = jax.random.split(sub, v)
+        out = jax.vmap(refine_view, in_axes=(0, 0, 0, 0, None))(
+            out, K, c2w, kv, curthresh)
+    return out
 
 
 def triangulate_matches(xy1, xy2, K1, K2, c2w1, c2w2):

@@ -229,7 +229,8 @@ def test_tsdf_refine_improves_noisy_depth():
     noisy = gt.copy()
     noisy[0] += rng.standard_normal(gt[0].shape).astype(np.float32) * 0.05
     refined = np.asarray(tsdf_refine_depth(
-        noisy, np.tile(K, (3, 1, 1)), c2w, trunc=0.2, n_iter=4))
+        noisy, np.tile(K, (3, 1, 1)), c2w, trunc=0.1, n_iter=2,
+        nsamples=128))
     # interior pixels of the noisy view move toward GT
     sl = (0, slice(4, -4), slice(4, -4))
     err_before = np.abs(noisy[sl] - gt[sl]).mean()
