@@ -252,7 +252,15 @@ def _binned_overflow_impl(gaussians, pose, fx, fy, cx, cy, scale_modifier,
 
 def _binned_backend_or_dense(gaussians, pose, camera, scale_modifier,
                              active_sh_degree) -> str:
-    """Rate-limited overflow check; returns the backend to actually use."""
+    """Rate-limited overflow check; returns the backend to actually use.
+
+    Host-level only: under an outer jit the inputs are tracers, the flag
+    has no concrete value, and a traced render must stay shape-stable —
+    the caller keeps the binned kernel and owns the capacity check
+    (rasterize_pallas_binned.bin_overflow)."""
+    if isinstance(gaussians.xyz, jax.core.Tracer) or isinstance(
+            pose, jax.core.Tracer):
+        return "pallas-binned"
     key = (int(gaussians.xyz.shape[0]), camera.height, camera.width)
     n = _binned_call_count.get(key, 0)
     _binned_call_count[key] = n + 1

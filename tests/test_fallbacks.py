@@ -104,3 +104,18 @@ def test_aligner_uneven_edges_logs_replicated_fallback(caplog):
                          logger="instantsplat_tpu.init.aligner"):
         al.align(niter=2, mesh=mesh)
     assert any("running replicated" in r.message for r in caplog.records)
+
+
+def test_binned_backend_usable_under_outer_jit():
+    """render(backend='pallas-binned') must stay traceable: the host-side
+    overflow probe cannot run on tracers (the trainer jits around render),
+    so under trace the binned path is kept as-is."""
+    g, cam = _tiny_scene()
+
+    @jax.jit
+    def f(p):
+        out = driver.render(g, cam, pose=p, backend="pallas-binned")
+        return jnp.mean(out.render)
+
+    v = f(jnp.asarray([1.0, 0, 0, 0, 0, 0, 0]))
+    assert np.isfinite(float(v))
