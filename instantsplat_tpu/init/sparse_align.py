@@ -22,11 +22,16 @@ the dense PointCloudOptimizer instead, SURVEY.md §2.4). Structure:
      log-focals and principal points (sparse_ga.py:444-449).
    Each phase is one jitted Adam fori_loop, like the dense aligner.
 
-Remaining deviation from the reference (documented): poses are free
-per-image variables rather than a kinematic chain over the MST
-(sparse_ga.py:254-260), and per-pixel core_depth stays fixed at the
-predicted pointmaps — per-pixel depth refinement lives in
-init/depth_refine.py instead.
+Poses are parameterized as a kinematic chain over the match-strength MST
+(sparse_ga.py:254-260): each image's learnable (quat, trans) is RELATIVE
+to its MST parent and absolute poses are composed along the tree inside
+the jitted loss, so a parent update moves its whole subtree coherently
+(the conditioning win the reference gets from the chain). Set
+`kinematic_chain=False` for free per-image poses.
+
+Remaining deviation from the reference (documented): per-pixel
+core_depth stays fixed at the predicted pointmaps — per-pixel depth
+refinement lives in init/depth_refine.py instead.
 """
 
 from __future__ import annotations
@@ -216,6 +221,46 @@ def refine_matches_coarse_to_fine(
 
 # -- two-phase sparse optimizer (sparse_ga.py:158-463) ---------------------
 
+
+def mst_topo_order(n_imgs, edges, strengths):
+    """Maximum-strength spanning tree rooted at image 0, as a traversal.
+
+    -> (order [V] int, parent [V] int; parent[order[0]] = -1). The
+    reference builds its kinematic chain from the MST of pairwise match
+    confidence (sparse_ga.py:205-211 `compute_min_spanning_tree` over
+    `-msp` scores); strengths here are per-directed-edge (higher =
+    better), merged to undirected max.
+    """
+    import scipy.sparse as sp
+
+    g = sp.dok_array((n_imgs, n_imgs))
+    for (i, j), s in zip(edges, strengths):
+        a, b = (i, j) if i < j else (j, i)
+        g[a, b] = min(g[a, b], -float(s)) if g[a, b] else -float(s)
+    msp = sp.csgraph.minimum_spanning_tree(g.tocsr()).tocoo()
+    adj = [[] for _ in range(n_imgs)]
+    for a, b in zip(msp.row, msp.col):
+        adj[int(a)].append(int(b))
+        adj[int(b)].append(int(a))
+    parent = np.full(n_imgs, -1, int)
+    order, seen = [0], {0}
+    stack = [0]
+    while stack:
+        u = stack.pop()
+        for w in adj[u]:
+            if w not in seen:
+                seen.add(w)
+                parent[w] = u
+                order.append(w)
+                stack.append(w)
+    # disconnected images (no edges at all) chain to the root
+    for k in range(n_imgs):
+        if k not in seen:
+            parent[k] = 0
+            order.append(k)
+    return np.asarray(order, int), parent
+
+
 class SparseGAResult(NamedTuple):
     c2w: np.ndarray  # [V, 4, 4]
     scales: np.ndarray  # [V]
@@ -249,6 +294,7 @@ def sparse_global_alignment(
     matching_conf_thr=0.0, min_matches=8, loss_dust3r_w=0.01,
     anchor3d_w=10.0,
     focals: Optional[np.ndarray] = None,
+    kinematic_chain=True,
     seed=0,
 ):
     """-> SparseGAResult(c2w [V,4,4], scales [V], focals [V], loss).
@@ -257,6 +303,8 @@ def sparse_global_alignment(
     Phase hyperparameters mirror sparse_ga.py:160-162 (lr1=0.2/niter1=500/
     gamma 1.1; lr2=0.02/niter2=500/gamma 0.4) scaled to this
     parameterization; `focals` overrides the per-image Weiszfeld init.
+    `kinematic_chain` parameterizes poses relative to the match-MST parent
+    (sparse_ga.py:254-260); False = free per-image poses.
     """
     import jax
     import jax.numpy as jnp
@@ -349,6 +397,20 @@ def sparse_global_alignment(
         pp=jnp.asarray(np.tile([w / 2.0, h / 2.0], (v, 1)), jnp.float32),
     )
 
+    # kinematic chain over the match-strength MST (sparse_ga.py:254-260):
+    # pose rows are parent-relative, composed along the (static,
+    # host-computed) traversal inside the jitted loss.
+    chain = []
+    if kinematic_chain and v > 1:
+        strengths = [
+            float(len(matches[e][0]))
+            if len(matches[e][0]) >= min_matches else 0.5
+            for e in range(len(preds.edges))
+        ]
+        order_np, parent_np = mst_topo_order(v, preds.edges, strengths)
+        assert int(order_np[0]) == 0  # root = gauge anchor
+        chain = [(int(k), int(parent_np[k])) for k in order_np[1:]]
+
     g1 = _gamma_np(gamma1)
     g2 = _gamma_np(gamma2)
     gd = _gamma_np(1.1)  # lossd = gamma_loss(1.1), sparse_ga.py:162
@@ -360,6 +422,16 @@ def sparse_global_alignment(
         q = T.quat_normalize(wp[:, :4])
         R = T.quat_to_rotmat(q)
         t = G.signed_expm1(wp[:, 4:7])
+        if chain:
+            # compose absolute poses down the tree (unrolled: V <= ~24
+            # tiny matmuls, traversal order is static). Root 0's relative
+            # pose is the masked identity => absolute identity (gauge).
+            Rl, tl = list(R), list(t)
+            for k, par in chain:
+                Rl[k] = Rl[par] @ R[k]
+                tl[k] = Rl[par] @ t[k] + tl[par]
+            R = jnp.stack(Rl)
+            t = jnp.stack(tl)
         s = jnp.exp(wp[:, 7])
         f = jnp.clip(jnp.exp(p["log_focal"]),
                      0.25 * diag, 10.0 * diag)  # sparse_ga.py:226-228
@@ -451,22 +523,15 @@ def sparse_global_alignment(
         params, final = make_run(loss_fine, fine=True)(
             params, niter2, lr2)
 
-    pose = np.array(params["pose"], copy=True)
-    pose[0] = [1, 0, 0, 0, 0, 0, 0, 0]  # gauge anchor
-    scales = np.exp(pose[:, 7])
-    focals_out = np.clip(
-        np.exp(np.asarray(params["log_focal"], np.float64)),
-        0.25 * diag, 10.0 * diag)
-    from instantsplat_tpu.data.colmap import qvec_to_rotmat
-
-    c2w = []
-    for k in range(v):
-        q = pose[k, :4] / np.linalg.norm(pose[k, :4])
-        # numpy: per-view eager jnp would dispatch tiny ops to the device
-        # (see transforms.matrix_to_pose_np docstring)
-        Rk = qvec_to_rotmat(q)
-        m = np.eye(4)
-        m[:3, :3] = Rk
-        m[:3, 3] = G.signed_expm1(pose[k, 4:7].astype(np.float64))
-        c2w.append(m)
-    return SparseGAResult(np.stack(c2w), scales, focals_out, float(final))
+    # one jitted decode dispatch resolves the (possibly chained) absolute
+    # poses; everything after is numpy (axon eager-op rule, CLAUDE.md)
+    R_abs, t_abs, s_abs, f_abs, _ = jax.jit(decode)(params)
+    R_np = np.asarray(R_abs, np.float64)
+    t_np = np.asarray(t_abs, np.float64)
+    scales = np.asarray(s_abs, np.float64)
+    focals_out = np.asarray(f_abs, np.float64)
+    c2w = np.tile(np.eye(4), (v, 1, 1))
+    c2w[:, :3, :3] = R_np
+    c2w[:, :3, 3] = t_np
+    c2w[0] = np.eye(4)  # gauge anchor
+    return SparseGAResult(c2w, scales, focals_out, float(final))

@@ -358,3 +358,54 @@ def test_refine_matches_coarse_to_fine():
     # descriptor grid quantization)
     np.testing.assert_allclose(f2 - f1, np.tile(shift, (len(f1), 1)),
                                atol=1.5)
+
+
+def test_mst_topo_order():
+    from instantsplat_tpu.init.sparse_align import mst_topo_order
+
+    # 4 images; strong 0-1, 1-2, 2-3 chain + weak shortcut 0-3
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2), (0, 3)]
+    strengths = [100, 100, 80, 80, 60, 60, 1]
+    order, parent = mst_topo_order(4, edges, strengths)
+    assert order[0] == 0 and parent[0] == -1
+    assert list(parent) == [-1, 0, 1, 2]  # the strong chain, not 0-3
+    # every non-root appears after its parent in the traversal
+    pos = {int(k): n for n, k in enumerate(order)}
+    for k in range(1, 4):
+        assert pos[parent[k]] < pos[k]
+
+    # isolated image chains to the root
+    order2, parent2 = mst_topo_order(3, [(0, 1), (1, 0)], [5, 5])
+    assert parent2[2] == 0 and set(map(int, order2)) == {0, 1, 2}
+
+
+def test_sparse_alignment_free_poses_still_works():
+    """kinematic_chain=False keeps the free per-image parameterization."""
+    from instantsplat_tpu.init.sparse_align import sparse_global_alignment
+
+    c2w_gt, focal, preds = _synthetic_scene(n_views=3)
+
+    def desc_of(pts_in_frame, c2w_i):
+        world = pts_in_frame @ c2w_i[:3, :3].T + c2w_i[:3, 3]
+        x, y = world[..., 0], world[..., 1]
+        f = np.stack([
+            x, y, np.sin(0.5 * x), np.cos(0.4 * y),
+            np.sin(0.3 * (x + y)), np.ones_like(x),
+        ], -1)
+        return (f / np.linalg.norm(f, axis=-1, keepdims=True)).astype(
+            np.float32)
+
+    preds.desc_i = np.stack([
+        desc_of(preds.pred_i[e], c2w_gt[i])
+        for e, (i, j) in enumerate(preds.edges)
+    ])
+    preds.desc_j = np.stack([
+        desc_of(preds.pred_j[e], c2w_gt[i])
+        for e, (i, j) in enumerate(preds.edges)
+    ])
+
+    res = sparse_global_alignment(preds, subsample=4, niter1=300,
+                                  niter2=0, kinematic_chain=False)
+    rot, t = _relative_pose_error(res.c2w, c2w_gt)
+    assert rot < 0.05, rot
+    assert t < 0.15, t
