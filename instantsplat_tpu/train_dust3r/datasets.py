@@ -23,8 +23,126 @@ from pathlib import Path
 import numpy as np
 
 
+# -- geometry-aware crop/resize core --------------------------------------
+# The piece every reference loader shares (dust3r/datasets/base/
+# base_stereo_view_dataset.py:137-183 `_crop_resize_if_necessary` +
+# datasets/utils/cropping.py): joint image/depth/intrinsics rescale and
+# crop, principal-point-centered pre-crop, portrait/square orientation
+# selection, and `aug_crop` target enlargement. Intrinsics scaling happens
+# in the COLMAP pixel-center convention (+0.5) and converts back
+# (dust3r/utils/geometry.py:223-246).
+
+
+def camera_matrix_of_crop(K, input_resolution, output_resolution,
+                          scaling=1.0, offset_factor=0.5, offset=None):
+    """Intrinsics after scaling then cropping to output_resolution
+    (cropping.py:90-104). Resolutions are (W, H)."""
+    margins = (np.asarray(input_resolution, np.float64) * scaling
+               - np.asarray(output_resolution, np.float64))
+    assert np.all(margins >= -1e-6), margins
+    if offset is None:
+        offset = offset_factor * margins
+    K2 = np.asarray(K, np.float64).copy()
+    K2[0, 2] += 0.5
+    K2[1, 2] += 0.5
+    K2[:2, :] *= scaling
+    K2[:2, 2] -= offset
+    K2[0, 2] -= 0.5
+    K2[1, 2] -= 0.5
+    return K2.astype(np.float32)
+
+
+def rescale_view(img, depth, K, output_resolution, force=True):
+    """Jointly rescale (img [H,W,3] float 0..1, depth [H,W], K) so the
+    output covers `output_resolution` (W, H): Lanczos down / bicubic up
+    for the image, nearest for depth (cropping.py:57-84)."""
+    import PIL.Image
+
+    in_res = np.array([img.shape[1], img.shape[0]])
+    out = np.asarray(output_resolution, np.float64)
+    scale = float(np.max(out / in_res)) + 1e-8
+    if scale >= 1 and not force:
+        return img, depth, np.asarray(K, np.float32)
+    out_res = np.floor(in_res * scale).astype(int)
+    u8 = img.dtype == np.uint8
+    pim = PIL.Image.fromarray(
+        img if u8 else (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8))
+    resample = (PIL.Image.Resampling.LANCZOS if scale < 1
+                else PIL.Image.Resampling.BICUBIC)
+    pim = pim.resize(tuple(out_res), resample=resample)
+    dep = PIL.Image.fromarray(np.asarray(depth, np.float32), mode="F")
+    dep = dep.resize(tuple(out_res), resample=PIL.Image.Resampling.NEAREST)
+    img2 = np.asarray(pim)
+    if not u8:
+        img2 = img2.astype(np.float32) / 255.0
+    K2 = camera_matrix_of_crop(K, in_res, out_res, scaling=scale)
+    return img2, np.asarray(dep), K2
+
+
+def crop_view(img, depth, K, bbox):
+    """Crop (l, t, r, b); principal point shifts by the crop origin
+    (cropping.py:107-121)."""
+    l, t, r, b = (int(v) for v in bbox)
+    K2 = np.asarray(K, np.float32).copy()
+    K2[0, 2] -= l
+    K2[1, 2] -= t
+    return img[t:b, l:r], depth[t:b, l:r], K2
+
+
+def crop_resize_view(img, depth, K, resolution, rng=None, aug_crop=0):
+    """Full reference view transform -> (img, depth, K) at `resolution`
+    (W, H), W >= H (base_stereo_view_dataset.py:137-183):
+
+    1. center a maximal crop on the principal point (asserts the pp is
+       not within 1/5 of a border);
+    2. transpose the target resolution for portrait inputs (H > 1.1 W),
+       or randomly for near-square inputs;
+    3. optionally enlarge the rescale target by rng.integers(0, aug_crop)
+       (the reference's aug_crop augmentation), then rescale;
+    4. final offset crop to exactly `resolution`.
+    """
+    h, w = np.asarray(depth).shape
+    K = np.asarray(K, np.float64)
+    cx, cy = int(round(K[0, 2])), int(round(K[1, 2]))
+    mx, my = min(cx, w - cx), min(cy, h - cy)
+    assert mx > w / 5 and my > h / 5, f"bad principal point ({cx},{cy})"
+    img, depth, K = crop_view(img, depth, K,
+                              (cx - mx, cy - my, cx + mx, cy + my))
+    h, w = depth.shape
+    resolution = tuple(int(v) for v in resolution)
+    assert resolution[0] >= resolution[1]
+    if h > 1.1 * w:
+        resolution = resolution[::-1]
+    elif 0.9 < h / w < 1.1 and resolution[0] != resolution[1]:
+        if rng is not None and rng.integers(2):
+            resolution = resolution[::-1]
+    target = np.array(resolution)
+    if aug_crop > 1 and rng is not None:
+        target = target + int(rng.integers(0, aug_crop))
+    img, depth, K = rescale_view(img, depth, K, target)
+    K2 = camera_matrix_of_crop(
+        K, (depth.shape[1], depth.shape[0]), resolution, offset_factor=0.5)
+    l = int(round(K[0, 2] - K2[0, 2]))
+    t = int(round(K[1, 2] - K2[1, 2]))
+    return crop_view(img, depth, K,
+                     (l, t, l + resolution[0], t + resolution[1]))
+
+
 class PosedMultiViewDataset:
-    def __init__(self, root, scenes=None, pair_window=3):
+    def __init__(self, root, scenes=None, pair_window=3, resolution=None,
+                 aug_crop=0):
+        """resolution: optional (W, H) target — or a LIST of (W, H)
+        choices, one drawn per batch with all views in the batch sharing
+        it (the BatchedRandomSampler aspect-ratio-pool constraint,
+        dust3r/datasets/base/batched_sampler.py:11-18). Every view passes
+        through `crop_resize_view` (the reference's shared loader
+        transform) before unprojection, so intrinsics, depth, and pts3d
+        stay consistent with the crop. aug_crop > 1 enables the random
+        rescale-target enlargement augmentation."""
+        if resolution is not None and not isinstance(resolution, list):
+            resolution = [tuple(resolution)]
+        self.resolutions = resolution
+        self.aug_crop = aug_crop
         self.root = Path(root)
         self.scenes = []
         scene_dirs = ([self.root / s for s in scenes] if scenes
@@ -51,7 +169,7 @@ class PosedMultiViewDataset:
     def __len__(self):
         return len(self.pairs)
 
-    def _load_view(self, scene, idx):
+    def _load_view(self, scene, idx, rng=None, resolution=None):
         from instantsplat_tpu.data.images import load_image
 
         name = scene["names"][idx]
@@ -59,6 +177,12 @@ class PosedMultiViewDataset:
         depth = np.load(scene["dir"] / "depth" / f"{name}.npy")
         K = scene["K"][idx]
         c2w = scene["c2w"][idx]
+        if resolution is None and self.resolutions is not None:
+            resolution = self.resolutions[0]
+        if resolution is not None:
+            img, depth, K = crop_resize_view(
+                img, depth, K, resolution, rng=rng,
+                aug_crop=self.aug_crop)
         h, w = depth.shape
         gx, gy = np.meshgrid(np.arange(w), np.arange(h))
         xy = np.stack([(gx - K[0, 2]) / K[0, 0],
@@ -66,12 +190,22 @@ class PosedMultiViewDataset:
         pts_cam = np.concatenate(
             [xy * depth[..., None], depth[..., None]], -1)
         pts_world = pts_cam.reshape(-1, 3) @ c2w[:3, :3].T + c2w[:3, 3]
-        return dict(
+        view = dict(
             img=img.astype(np.float32),
             pts3d=pts_world.reshape(h, w, 3).astype(np.float32),
             camera_pose=c2w,
             valid_mask=depth > 0,
+            true_shape=np.int32([h, w]),
         )
+        if h > w:
+            # transpose_to_landscape (dust3r/datasets/base/
+            # base_stereo_view_dataset.py:115-117 via utils/misc.py):
+            # spatially transpose the arrays (values untouched) so every
+            # view in a batch stacks in landscape layout; true_shape
+            # records the real orientation for the ManyAR model path.
+            for k in ("img", "pts3d", "valid_mask"):
+                view[k] = np.swapaxes(view[k], 0, 1)
+        return view
 
     def batches(self, batch_size, seed=0, n_epochs=1, shard=None):
         """Yield jnp-ready batch dicts; `shard=(rank, world)` splits the
@@ -86,10 +220,18 @@ class PosedMultiViewDataset:
                 order = order[rank::world]
             for s in range(0, len(order) - batch_size + 1, batch_size):
                 v1s, v2s = [], []
+                # one resolution per batch, shared by every view in it
+                # (BatchedRandomSampler pool constraint)
+                res = None
+                if self.resolutions is not None:
+                    res = self.resolutions[
+                        int(rng.integers(len(self.resolutions)))]
                 for k in order[s:s + batch_size]:
                     si, i, j = self.pairs[k]
-                    v1s.append(self._load_view(self.scenes[si], i))
-                    v2s.append(self._load_view(self.scenes[si], j))
+                    v1s.append(self._load_view(self.scenes[si], i, rng,
+                                               resolution=res))
+                    v2s.append(self._load_view(self.scenes[si], j, rng,
+                                               resolution=res))
 
                 def stack(vs):
                     return dict(

@@ -245,3 +245,110 @@ def test_nonfinite_loss_aborts():
         trainer.train_loop(params, TINY, iter([batch] * 2), n_steps=2,
                            log_every=1, base_lr=5e-4, warmup_steps=1,
                            total_steps=2)
+
+
+def test_crop_resize_view_geometry_consistency():
+    """The shared loader transform (base_stereo_view_dataset.py:137-183):
+    output resolution is exact, intrinsics scale with the resample, and
+    unprojecting the cropped depth with the updated K reproduces the same
+    camera-frame surface as the original view."""
+    from instantsplat_tpu.train_dust3r.datasets import crop_resize_view
+
+    h, w, f = 64, 96, 80.0
+    # principal point off-center (but > 1/5 margins) exercises the pre-crop
+    K = np.array([[f, 0, 52.0], [0, f, 30.0], [0, 0, 1]], np.float32)
+    gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+    # true camera-frame plane n.p = d: depth = d / (n . ray)
+    n_pl = np.array([0.15, 0.25, 1.0])
+    n_pl /= np.linalg.norm(n_pl)
+    d_pl = 3.0
+    ray = np.stack([(gx - K[0, 2]) / f, (gy - K[1, 2]) / f,
+                    np.ones_like(gx)], -1)
+    depth = (d_pl / (ray @ n_pl)).astype(np.float32)
+    img = np.random.default_rng(0).random((h, w, 3)).astype(np.float32)
+
+    res = (48, 32)
+    img2, depth2, K2 = crop_resize_view(img, depth, K, res)
+    assert depth2.shape == (res[1], res[0])
+    assert img2.shape == (res[1], res[0], 3)
+    # scale factor should reflect the resample (within crop rounding)
+    assert 0.3 < K2[0, 0] / f < 0.7
+    # camera-frame points of the ORIGINAL view lie on one plane; the
+    # transformed view's unprojection must lie on the SAME plane
+    # (nearest-resampled depth => small quantization tolerance)
+    ggx, ggy = np.meshgrid(np.arange(res[0]), np.arange(res[1]))
+    x = (ggx - K2[0, 2]) / K2[0, 0] * depth2
+    y = (ggy - K2[1, 2]) / K2[1, 1] * depth2
+    pts2 = np.stack([x, y, depth2], -1).reshape(-1, 3)
+    xo = (gx - K[0, 2]) / f * depth
+    yo = (gy - K[1, 2]) / f * depth
+    pts1 = np.stack([xo, yo, depth], -1).reshape(-1, 3)
+
+    def plane(pts):
+        c = pts.mean(0)
+        _, _, vt = np.linalg.svd(pts - c, full_matrices=False)
+        n = vt[2]
+        return n / np.linalg.norm(n) * np.sign(n[2]), c
+
+    n1, c1 = plane(pts1)
+    n2, _ = plane(pts2)
+    np.testing.assert_allclose(n2, n1, atol=0.02)
+    resid = np.abs((pts2 - c1) @ n1)
+    assert resid.max() < 0.1, resid.max()
+
+
+def test_crop_resize_view_portrait_and_aug(tmp_path):
+    from instantsplat_tpu.train_dust3r.datasets import (
+        PosedMultiViewDataset,
+        crop_resize_view,
+        write_synthetic_scene,
+    )
+
+    # portrait input flips the target orientation deterministically
+    h, w, f = 96, 64, 80.0
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
+    depth = np.full((h, w), 2.0, np.float32)
+    img = np.zeros((h, w, 3), np.float32)
+    img2, depth2, _ = crop_resize_view(img, depth, K, (48, 32))
+    assert depth2.shape == (48, 32)  # (W,H) target transposed
+
+    # aug_crop with an rng perturbs the rescale target but output size is
+    # still exact
+    rng = np.random.default_rng(0)
+    img3, depth3, _ = crop_resize_view(img, depth, K, (48, 32), rng=rng,
+                                       aug_crop=8)
+    assert depth3.shape == (48, 32)
+
+    # dataset-level: resolution-enabled batches are uniformly shaped and
+    # geometrically valid
+    write_synthetic_scene(tmp_path, "s0", n_views=4, h=40, w=56)
+    ds = PosedMultiViewDataset(tmp_path, pair_window=1,
+                               resolution=(32, 24), aug_crop=4)
+    b = next(iter(ds.batches(batch_size=2, seed=0)))
+    assert b["img1"].shape == (2, 24, 32, 3)
+    assert b["gt1"]["pts3d"].shape == (2, 24, 32, 3)
+    assert bool(np.isfinite(np.asarray(b["gt1"]["pts3d"])).all())
+    # pts3d must still lie on the synthetic scene's z=4 world plane
+    z = np.asarray(b["gt1"]["pts3d"])[..., 2]
+    np.testing.assert_allclose(z, 4.0, atol=1e-2)
+
+
+def test_multi_resolution_pool(tmp_path):
+    """A list of resolutions behaves like the reference's
+    BatchedRandomSampler pool: each batch draws one (W, H), shared by all
+    its views (batched_sampler.py:11-18)."""
+    from instantsplat_tpu.train_dust3r.datasets import (
+        PosedMultiViewDataset,
+        write_synthetic_scene,
+    )
+
+    write_synthetic_scene(tmp_path, "s0", n_views=6, h=40, w=56)
+    ds = PosedMultiViewDataset(
+        tmp_path, pair_window=2, resolution=[(32, 24), (40, 16)])
+    shapes = set()
+    for b in ds.batches(batch_size=2, seed=0, n_epochs=3):
+        s1 = tuple(np.asarray(b["img1"]).shape[1:3])
+        s2 = tuple(np.asarray(b["img2"]).shape[1:3])
+        assert s1 == s2  # within-batch constraint
+        shapes.add(s1)
+    assert shapes == {(24, 32), (16, 40)}, shapes  # pool is exercised
