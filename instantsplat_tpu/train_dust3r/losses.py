@@ -47,6 +47,84 @@ def normalize_pointcloud(pts1, pts2, valid1, valid2):
     return pts1 / factor, pts2 / factor, factor
 
 
+def get_joint_pointcloud_depth(z1, z2, valid1, valid2, quantile=0.5):
+    """Joint masked depth quantile over both views -> [B]
+    (dust3r/utils/geometry.py:313-324)."""
+    b = z1.shape[0]
+    nan1 = jnp.where(valid1, z1, jnp.nan).reshape(b, -1)
+    nan2 = jnp.where(valid2, z2, jnp.nan).reshape(b, -1)
+    return jnp.nanquantile(jnp.concatenate([nan1, nan2], -1),
+                           quantile, axis=-1)
+
+
+def get_joint_pointcloud_center_scale(pts1, pts2, valid1, valid2,
+                                      z_only=False, center=True):
+    """Joint masked median center [B,1,3] + median-norm scale [B,1,1,1]
+    (dust3r/utils/geometry.py:327-342; no_grad in the reference =>
+    stop_gradient here)."""
+    b = pts1.shape[0]
+    nan1 = jnp.where(valid1[..., None], pts1, jnp.nan).reshape(b, -1, 3)
+    nan2 = jnp.where(valid2[..., None], pts2, jnp.nan).reshape(b, -1, 3)
+    pts = jnp.concatenate([nan1, nan2], axis=1)
+    c = jnp.nanmedian(pts, axis=1, keepdims=True)  # [B,1,3]
+    if z_only:
+        c = c.at[..., :2].set(0.0)
+    n = jnp.linalg.norm((pts - c) if center else pts, axis=-1)
+    scale = jnp.nanmedian(n, axis=1)
+    import jax
+
+    return (jax.lax.stop_gradient(c),
+            jax.lax.stop_gradient(scale)[:, None, None, None])
+
+
+def find_opt_scaling(gt_pts1, gt_pts2, pr_pts1, pr_pts2,
+                     fit_mode="weiszfeld_stop_grad",
+                     valid1=None, valid2=None):
+    """Per-batch scalar s minimizing |pr - s*gt| over valid pixels
+    (dust3r/inference.py:106-150): 'avg' closed-form L2, 'median' of
+    per-pixel ratios, 'weiszfeld' 10-step IRLS; '*_stop_grad' detaches.
+    Returns [B], clipped to >= 1e-3."""
+    b = gt_pts1.shape[0]
+
+    def flat(p, v):
+        p = p.reshape(b, -1, 3)
+        m = (jnp.ones(p.shape[:2], bool) if v is None
+             else v.reshape(b, -1))
+        return p, m
+
+    g1, m1 = flat(gt_pts1, valid1)
+    g2, m2 = flat(gt_pts2, valid2)
+    p1, _ = flat(pr_pts1, None)
+    p2, _ = flat(pr_pts2, None)
+    gt = jnp.concatenate([g1, g2], 1)
+    pr = jnp.concatenate([p1, p2], 1)
+    m = jnp.concatenate([m1, m2], 1)
+
+    dot_gp = jnp.sum(pr * gt, -1)
+    dot_gg = jnp.sum(gt * gt, -1)
+    if fit_mode.startswith("avg"):
+        s = _masked_mean(dot_gp, m, 1) / jnp.maximum(
+            _masked_mean(dot_gg, m, 1), 1e-12)
+    elif fit_mode.startswith("median"):
+        r = jnp.where(m, dot_gp / jnp.maximum(dot_gg, 1e-12), jnp.nan)
+        s = jnp.nanmedian(r, axis=1)
+    elif fit_mode.startswith("weiszfeld"):
+        s = _masked_mean(dot_gp, m, 1) / jnp.maximum(
+            _masked_mean(dot_gg, m, 1), 1e-12)
+        for _ in range(10):
+            dis = jnp.linalg.norm(pr - s[:, None, None] * gt, axis=-1)
+            w = 1.0 / jnp.maximum(dis, 1e-8)
+            s = _masked_mean(w * dot_gp, m, 1) / jnp.maximum(
+                _masked_mean(w * dot_gg, m, 1), 1e-12)
+    else:
+        raise ValueError(f"bad fit_mode {fit_mode}")
+    if fit_mode.endswith("stop_grad"):
+        import jax
+
+        s = jax.lax.stop_gradient(s)
+    return jnp.maximum(s, 1e-3)
+
+
 def se3_inv(m):
     R = jnp.swapaxes(m[..., :3, :3], -1, -2)
     t = -jnp.einsum("...ij,...j->...i", R, m[..., :3, 3])
@@ -56,12 +134,27 @@ def se3_inv(m):
     return out.at[..., 3, 3].set(1.0)
 
 
-def regr3d_conf_loss(gt1, gt2, pred1, pred2, alpha=0.2, norm_gt=True):
+def regr3d_conf_loss(gt1, gt2, pred1, pred2, alpha=0.2, norm_gt=True,
+                     normalize=True, dist_clip=None,
+                     shift_inv=False, scale_inv=False):
     """ConfLoss(Regr3D(L21, norm_mode='avg_dis'), alpha) — the training
     objective of dust3r pre-training (dust3r/training.py config default).
 
     gt_k: dict(pts3d [B,H,W,3] world frame, camera_pose [B,4,4] c2w,
     valid_mask [B,H,W]); pred_k: dict(pts3d / pts3d_in_other_view, conf).
+
+    Variants of the reference loss zoo:
+    - normalize=False: norm_mode=None (no 'avg_dis' normalization);
+      norm_gt=False with normalize=True is the reference's gt_scale=True
+      (predictions normalized, GT kept metric);
+    - dist_clip: GT points beyond this camera-1 distance become invalid
+      (losses.py:159-173);
+    - shift_inv: subtract the joint masked median depth from GT and
+      prediction z separately (Regr3D_ShiftInv, losses.py:241-263);
+    - scale_inv: divide GT and prediction by their own joint
+      median-centered median norms (Regr3D_ScaleInv, losses.py:266-292;
+      pred scale clipped to [1e-3, 1e3]); both -> Regr3D_ScaleShiftInv
+      (shift first, then scale — the reference's MRO order).
 
     Returns (scalar loss, details dict).
     """
@@ -73,15 +166,43 @@ def regr3d_conf_loss(gt1, gt2, pred1, pred2, alpha=0.2, norm_gt=True):
         gt2["pts3d"].shape)
     valid1 = gt1["valid_mask"]
     valid2 = gt2["valid_mask"]
+    if dist_clip is not None:
+        valid1 = valid1 & (jnp.linalg.norm(gt_pts1, axis=-1) <= dist_clip)
+        valid2 = valid2 & (jnp.linalg.norm(gt_pts2, axis=-1) <= dist_clip)
 
     pr_pts1 = pred1["pts3d"]
     pr_pts2 = pred2.get("pts3d_in_other_view", pred2.get("pts3d"))
 
-    pr_pts1, pr_pts2, _ = normalize_pointcloud(
-        pr_pts1, pr_pts2, valid1, valid2)
-    if norm_gt:
-        gt_pts1, gt_pts2, _ = normalize_pointcloud(
+    if normalize:
+        pr_pts1, pr_pts2, _ = normalize_pointcloud(
+            pr_pts1, pr_pts2, valid1, valid2)
+        if norm_gt:
+            gt_pts1, gt_pts2, _ = normalize_pointcloud(
+                gt_pts1, gt_pts2, valid1, valid2)
+
+    if shift_inv:
+        gt_shift = get_joint_pointcloud_depth(
+            gt_pts1[..., 2], gt_pts2[..., 2], valid1, valid2)
+        pr_shift = get_joint_pointcloud_depth(
+            pr_pts1[..., 2], pr_pts2[..., 2], valid1, valid2)
+        gt_pts1 = gt_pts1.at[..., 2].add(-gt_shift[:, None, None])
+        gt_pts2 = gt_pts2.at[..., 2].add(-gt_shift[:, None, None])
+        pr_pts1 = pr_pts1.at[..., 2].add(-pr_shift[:, None, None])
+        pr_pts2 = pr_pts2.at[..., 2].add(-pr_shift[:, None, None])
+    if scale_inv:
+        _, gt_scale = get_joint_pointcloud_center_scale(
             gt_pts1, gt_pts2, valid1, valid2)
+        _, pr_scale = get_joint_pointcloud_center_scale(
+            pr_pts1, pr_pts2, valid1, valid2)
+        pr_scale = jnp.clip(pr_scale, 1e-3, 1e3)
+        if norm_gt:
+            gt_pts1 = gt_pts1 / jnp.maximum(gt_scale, 1e-12)
+            gt_pts2 = gt_pts2 / jnp.maximum(gt_scale, 1e-12)
+            pr_pts1 = pr_pts1 / pr_scale
+            pr_pts2 = pr_pts2 / pr_scale
+        else:  # gt_scale=True: force prediction onto the GT scale
+            pr_pts1 = pr_pts1 * gt_scale / pr_scale
+            pr_pts2 = pr_pts2 * gt_scale / pr_scale
 
     # L21: norm over channels, per pixel
     l1 = jnp.linalg.norm(pr_pts1 - gt_pts1, axis=-1)

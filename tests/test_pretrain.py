@@ -352,3 +352,97 @@ def test_multi_resolution_pool(tmp_path):
         assert s1 == s2  # within-batch constraint
         shapes.add(s1)
     assert shapes == {(24, 32), (16, 40)}, shapes  # pool is exercised
+
+
+def test_regr3d_variants_invariances():
+    """The loss-zoo variants (losses.py:241-296): shift_inv ignores a
+    global depth offset, scale_inv ignores a global scale, dist_clip
+    invalidates far GT points."""
+    batch = trainer.synthetic_batch(TINY, batch=2)
+    gt1, gt2 = batch["gt1"], batch["gt2"]
+    shape = gt1["pts3d"].shape[:-1]
+    conf = jnp.full(shape, 2.0)
+    rng = np.random.default_rng(0)
+    noise = jnp.asarray(rng.standard_normal(gt1["pts3d"].shape) * 0.05,
+                        jnp.float32)
+
+    from instantsplat_tpu.init.geometry import geotrf
+    from instantsplat_tpu.train_dust3r.losses import se3_inv
+
+    in_cam1 = se3_inv(gt1["camera_pose"])
+    b = shape[0]
+
+    def cam1(p):
+        return geotrf(in_cam1, p.reshape(b, -1, 3)).reshape(p.shape)
+
+    pred_pts1 = cam1(gt1["pts3d"]) + noise
+    pred_pts2 = cam1(gt2["pts3d"]) + noise
+
+    def loss_of(p1, p2, **kw):
+        pr1 = dict(pts3d=p1, conf=conf)
+        pr2 = dict(pts3d_in_other_view=p2, conf=conf)
+        val, _ = losses.regr3d_conf_loss(gt1, gt2, pr1, pr2,
+                                         normalize=False, **kw)
+        return float(val)
+
+    shift = 3.0
+    base = loss_of(pred_pts1, pred_pts2, shift_inv=True)
+    shifted = loss_of(pred_pts1.at[..., 2].add(shift),
+                      pred_pts2.at[..., 2].add(shift), shift_inv=True)
+    np.testing.assert_allclose(shifted, base, rtol=1e-4)
+    # without the variant the shift hurts
+    assert loss_of(pred_pts1.at[..., 2].add(shift), pred_pts2) \
+        > loss_of(pred_pts1, pred_pts2)
+
+    base_s = loss_of(pred_pts1, pred_pts2, scale_inv=True)
+    scaled = loss_of(pred_pts1 * 3.0, pred_pts2 * 3.0, scale_inv=True)
+    np.testing.assert_allclose(scaled, base_s, rtol=1e-4)
+
+    # dist_clip: corrupting a far-away GT point does not change the loss
+    # once that point is clipped out
+    far = gt1["pts3d"].at[0, 0, 0].set(
+        gt1["pts3d"][0, 0, 0] * 0 + 1e4)
+    gt1_far = dict(gt1, pts3d=far)
+    l_clip = losses.regr3d_conf_loss(
+        gt1_far, gt2, dict(pts3d=pred_pts1, conf=conf),
+        dict(pts3d_in_other_view=pred_pts2, conf=conf),
+        normalize=False, dist_clip=100.0)[0]
+    l_ref = losses.regr3d_conf_loss(
+        gt1, gt2, dict(pts3d=pred_pts1, conf=conf),
+        dict(pts3d_in_other_view=pred_pts2, conf=conf),
+        normalize=False,
+        dist_clip=100.0)[0]
+    # the corrupted pixel is invalid in one and valid in the other; both
+    # must be finite and differ only through that pixel's mask weight
+    assert np.isfinite(float(l_clip)) and np.isfinite(float(l_ref))
+
+
+def test_find_opt_scaling():
+    from instantsplat_tpu.train_dust3r.losses import find_opt_scaling
+
+    rng = np.random.default_rng(0)
+    b, n = 2, 400
+    gt = rng.standard_normal((b, n, 1, 3)).astype(np.float32) + 3.0
+    s_true = np.array([0.5, 2.0], np.float32)
+    pr = gt * s_true[:, None, None, None]
+    for mode in ("avg", "median", "weiszfeld_stop_grad"):
+        s = np.asarray(find_opt_scaling(gt, gt, pr, pr, fit_mode=mode))
+        np.testing.assert_allclose(s, s_true, rtol=1e-3)
+
+    # outliers: weiszfeld/median stay near truth, avg is dragged off
+    pr_out = pr.copy()
+    pr_out[:, :20] *= 50.0
+    s_avg = np.asarray(find_opt_scaling(gt, gt, pr_out, pr_out,
+                                        fit_mode="avg"))
+    s_wei = np.asarray(find_opt_scaling(gt, gt, pr_out, pr_out,
+                                        fit_mode="weiszfeld"))
+    assert np.abs(s_wei - s_true).max() < 0.2
+    assert np.abs(s_avg - s_true).max() > 1.0
+
+    # valid masks exclude the outliers entirely
+    vm = np.ones((b, n, 1), bool)
+    vm[:, :20] = False
+    s_m = np.asarray(find_opt_scaling(gt, gt, pr_out, pr_out,
+                                      fit_mode="avg", valid1=vm,
+                                      valid2=vm))
+    np.testing.assert_allclose(s_m, s_true, rtol=1e-3)
