@@ -134,9 +134,17 @@ def se3_inv(m):
     return out.at[..., 3, 3].set(1.0)
 
 
+def apply_log_to_norm(xyz):
+    """Log-compress the radial norm (mast3r/losses.py:20-25)."""
+    d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    return xyz / jnp.maximum(d, 1e-8) * jnp.log1p(d)
+
+
 def regr3d_conf_loss(gt1, gt2, pred1, pred2, alpha=0.2, norm_gt=True,
                      normalize=True, dist_clip=None,
-                     shift_inv=False, scale_inv=False):
+                     shift_inv=False, scale_inv=False,
+                     norm_all=True, max_metric_scale=0.0,
+                     sky_loss_value=0.0, loss_in_log=False):
     """ConfLoss(Regr3D(L21, norm_mode='avg_dis'), alpha) — the training
     objective of dust3r pre-training (dust3r/training.py config default).
 
@@ -156,6 +164,16 @@ def regr3d_conf_loss(gt1, gt2, pred1, pred2, alpha=0.2, norm_gt=True,
       pred scale clipped to [1e-3, 1e3]); both -> Regr3D_ScaleShiftInv
       (shift first, then scale — the reference's MRO order).
 
+    MASt3R metric-training extensions (mast3r/losses.py:27-136):
+    - norm_all=False: the '?avg_dis' mode — batch elements with
+      gt1['is_metric_scale'] keep the predicted metric scale (GT's
+      normalization factor is applied to them); max_metric_scale demotes
+      over-extended scenes back to normalized treatment;
+    - sky_loss_value: gt['sky_mask'] pixels without valid 3D count as
+      valid with this forced loss value;
+    - loss_in_log: 'before' log-compresses GT before comparison (linear
+      depth_mode), True log-compresses both at the criterion (exp mode).
+
     Returns (scalar loss, details dict).
     """
     in_cam1 = se3_inv(gt1["camera_pose"])
@@ -170,15 +188,47 @@ def regr3d_conf_loss(gt1, gt2, pred1, pred2, alpha=0.2, norm_gt=True,
         valid1 = valid1 & (jnp.linalg.norm(gt_pts1, axis=-1) <= dist_clip)
         valid2 = valid2 & (jnp.linalg.norm(gt_pts2, axis=-1) <= dist_clip)
 
+    if loss_in_log == "before":
+        # linear depth_mode variant (mast3r/losses.py:60-63)
+        gt_pts1 = apply_log_to_norm(gt_pts1)
+        gt_pts2 = apply_log_to_norm(gt_pts2)
+
     pr_pts1 = pred1["pts3d"]
     pr_pts2 = pred2.get("pts3d_in_other_view", pred2.get("pts3d"))
 
+    # metric-scale handling ('?avg_dis', mast3r/losses.py:31-97): batch
+    # elements flagged is_metric_scale keep their predicted scale (the GT
+    # normalization factor is applied to them instead), unless their GT
+    # extent exceeds max_metric_scale.
+    metric = None
+    if not norm_all:
+        metric = gt1.get("is_metric_scale")
+        if metric is None:
+            metric = jnp.zeros((b,), bool)
+        if max_metric_scale:
+            d1 = jnp.where(valid1, jnp.linalg.norm(gt_pts1, axis=-1),
+                           0.0).reshape(b, -1).max(1)
+            d2 = jnp.where(valid2, jnp.linalg.norm(gt_pts2, axis=-1),
+                           0.0).reshape(b, -1).max(1)
+            metric = metric & (d1 < max_metric_scale) \
+                & (d2 < max_metric_scale)
+
     if normalize:
-        pr_pts1, pr_pts2, _ = normalize_pointcloud(
+        pr_n1, pr_n2, _ = normalize_pointcloud(
             pr_pts1, pr_pts2, valid1, valid2)
+        if metric is None:
+            pr_pts1, pr_pts2 = pr_n1, pr_n2
+        else:
+            sel = metric[:, None, None, None]
+            pr_pts1 = jnp.where(sel, pr_pts1, pr_n1)
+            pr_pts2 = jnp.where(sel, pr_pts2, pr_n2)
         if norm_gt:
-            gt_pts1, gt_pts2, _ = normalize_pointcloud(
+            gt_pts1, gt_pts2, gt_factor = normalize_pointcloud(
                 gt_pts1, gt_pts2, valid1, valid2)
+            if metric is not None:
+                sel = metric[:, None, None, None]
+                pr_pts1 = jnp.where(sel, pr_pts1 / gt_factor, pr_pts1)
+                pr_pts2 = jnp.where(sel, pr_pts2 / gt_factor, pr_pts2)
 
     if shift_inv:
         gt_shift = get_joint_pointcloud_depth(
@@ -205,8 +255,26 @@ def regr3d_conf_loss(gt1, gt2, pred1, pred2, alpha=0.2, norm_gt=True,
             pr_pts2 = pr_pts2 * gt_scale / pr_scale
 
     # L21: norm over channels, per pixel
+    if loss_in_log and loss_in_log != "before":
+        # exp depth_mode variant (mast3r/losses.py:120-132)
+        pr_pts1, gt_pts1 = apply_log_to_norm(pr_pts1), apply_log_to_norm(gt_pts1)
+        pr_pts2, gt_pts2 = apply_log_to_norm(pr_pts2), apply_log_to_norm(gt_pts2)
     l1 = jnp.linalg.norm(pr_pts1 - gt_pts1, axis=-1)
     l2 = jnp.linalg.norm(pr_pts2 - gt_pts2, axis=-1)
+
+    if sky_loss_value > 0:
+        # sky pixels (labelled sky, no valid 3D) count as valid with a
+        # forced high loss (mast3r/losses.py:100-136)
+        sky1 = gt1.get("sky_mask")
+        sky2 = gt2.get("sky_mask")
+        if sky1 is not None:
+            sky1 = sky1 & ~valid1
+            l1 = jnp.where(sky1, sky_loss_value, l1)
+            valid1 = valid1 | sky1
+        if sky2 is not None:
+            sky2 = sky2 & ~valid2
+            l2 = jnp.where(sky2, sky_loss_value, l2)
+            valid2 = valid2 | sky2
 
     conf1 = pred1["conf"]
     conf2 = pred2["conf"]

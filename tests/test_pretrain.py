@@ -446,3 +446,65 @@ def test_find_opt_scaling():
                                       fit_mode="avg", valid1=vm,
                                       valid2=vm))
     np.testing.assert_allclose(s_m, s_true, rtol=1e-3)
+
+
+def test_metric_scale_sky_and_log_variants():
+    """MASt3R metric-training extensions (mast3r/losses.py:27-136):
+    '?avg_dis' keeps metric elements unnormalized, sky pixels contribute
+    a forced loss, log-norm compresses far-point errors."""
+    batch = trainer.synthetic_batch(TINY, batch=2)
+    gt1, gt2 = dict(batch["gt1"]), dict(batch["gt2"])
+    shape = gt1["pts3d"].shape[:-1]
+    conf = jnp.full(shape, 2.0)
+
+    from instantsplat_tpu.init.geometry import geotrf
+    from instantsplat_tpu.train_dust3r.losses import se3_inv
+
+    in_cam1 = se3_inv(gt1["camera_pose"])
+    b = shape[0]
+
+    def cam1(p):
+        return geotrf(in_cam1, p.reshape(b, -1, 3)).reshape(p.shape)
+
+    # prediction at 2x the GT's metric scale
+    pr1 = dict(pts3d=cam1(gt1["pts3d"]) * 2.0, conf=conf)
+    pr2 = dict(pts3d_in_other_view=cam1(gt2["pts3d"]) * 2.0, conf=conf)
+
+    # fully normalized: the 2x scale washes out => regr residual ~ 0
+    l_norm, d_norm = losses.regr3d_conf_loss(gt1, gt2, pr1, pr2)
+    assert float(d_norm["regr3d_1"]) < 1e-5
+
+    # metric mode: is_metric_scale keeps the prediction's scale and
+    # applies GT's factor => the 2x error is now visible
+    gt1_m = dict(gt1, is_metric_scale=jnp.ones((b,), bool))
+    _, d_met = losses.regr3d_conf_loss(gt1_m, gt2, pr1, pr2,
+                                       norm_all=False)
+    assert float(d_met["regr3d_1"]) > 0.1
+    # max_metric_scale demotes over-extended scenes back to normalized
+    _, d_dem = losses.regr3d_conf_loss(gt1_m, gt2, pr1, pr2,
+                                       norm_all=False,
+                                       max_metric_scale=1e-6)
+    assert float(d_dem["regr3d_1"]) < 1e-5
+
+    # sky pixels: flag some invalid pixels as sky => forced contribution
+    vm = np.asarray(gt1["valid_mask"]).copy()
+    vm[:, :2] = False
+    sky = np.zeros_like(vm)
+    sky[:, :2] = True
+    gt1_s = dict(gt1, valid_mask=jnp.asarray(vm),
+                 sky_mask=jnp.asarray(sky))
+    perfect1 = dict(pts3d=cam1(gt1["pts3d"]), conf=conf)
+    perfect2 = dict(pts3d_in_other_view=cam1(gt2["pts3d"]), conf=conf)
+    l_nosky, _ = losses.regr3d_conf_loss(gt1_s, gt2, perfect1, perfect2)
+    l_sky, _ = losses.regr3d_conf_loss(gt1_s, gt2, perfect1, perfect2,
+                                       sky_loss_value=2.0)
+    assert float(l_sky) > float(l_nosky)
+
+    # loss_in_log compresses a far-point error
+    far_gt = dict(gt1, pts3d=gt1["pts3d"] * 100.0)
+    far_pr1 = dict(pts3d=cam1(far_gt["pts3d"]) + 5.0, conf=conf)
+    _, d_lin = losses.regr3d_conf_loss(far_gt, gt2, far_pr1, perfect2,
+                                       normalize=False)
+    _, d_log = losses.regr3d_conf_loss(far_gt, gt2, far_pr1, perfect2,
+                                       normalize=False, loss_in_log=True)
+    assert float(d_log["regr3d_1"]) < float(d_lin["regr3d_1"])
