@@ -295,15 +295,49 @@ def regr3d_conf_loss(gt1, gt2, pred1, pred2, alpha=0.2, norm_gt=True,
 # ---------------------------------------------------------------------------
 
 
+def get_similarities(desc1, desc2, euc=False):
+    """[B,N,D] x [B,M,D] -> [B,N,M] similarity (mast3r/losses.py:202-209):
+    dot product, or 1/(1+euclidean) mapped into the same range."""
+    if euc:
+        d = jnp.linalg.norm(desc1[:, :, None] - desc2[:, None], axis=-1)
+        return 1.0 / (1.0 + d)
+    return jnp.einsum("bnd,bmd->bnm", desc1, desc2)
+
+
+def ap_matching_score(desc1, desc2, valid_matches=None, euc=False):
+    """True average precision of diagonal positives
+    (mast3r/losses.py:275-347 APLoss with nq='torch'): with exactly one
+    positive per query (the diagonal), AP reduces to 1 / (1 + #negatives
+    ranked above it). Non-differentiable (the reference computes it under
+    no_grad and trains through the similarity scores only via 1-mean
+    reduction of these detached APs — here we return the mean AP; use
+    1 - ap as the loss term exactly like the reference's '1-mean').
+    """
+    d1 = jnp.asarray(desc1, jnp.float32)
+    d2 = jnp.asarray(desc2, jnp.float32)
+    scores = get_similarities(d1, d2, euc)  # [B, N, N]
+    pos = jnp.diagonal(scores, axis1=-2, axis2=-1)  # [B, N]
+    posrank = jnp.sum(scores > pos[:, :, None], axis=-1)  # strict: ties
+    # resolve in the positive's favor, matching descending stable sort
+    ap = 1.0 / (1.0 + posrank.astype(jnp.float32))
+    if valid_matches is not None:
+        v = jnp.asarray(valid_matches, bool)
+        return jnp.sum(jnp.where(v, ap, 0.0)) / jnp.maximum(
+            jnp.sum(v), 1)
+    return jnp.mean(ap)
+
+
 def infonce_matching_loss(desc1, desc2, valid_matches=None,
-                          temperature=0.07, eps=1e-8, mode="proper"):
+                          temperature=0.07, eps=1e-8, mode="proper",
+                          euc=False):
     """InfoNCE over matched descriptor pairs (mast3r/losses.py:237-273).
 
     desc1/desc2: [B, N, D] descriptors of CORRESPONDING points (positives
     along the diagonal of the per-batch similarity matrix); valid_matches:
     [B, N] bool. Modes: 'all' (single normalization over the whole matrix),
     'proper' (row + column normalizations), 'dual' (same as proper in this
-    implementation's contract).
+    implementation's contract). euc switches the similarity to
+    1/(1+euclidean) (get_similarities).
     """
     import jax.numpy as jnp
 
@@ -317,7 +351,7 @@ def infonce_matching_loss(desc1, desc2, valid_matches=None,
 
     import jax
 
-    sim = jnp.einsum("bnd,bmd->bnm", d1, d2) / temperature
+    sim = get_similarities(d1, d2, euc) / temperature
     # mask invalid rows/cols out of every normalization
     row_ok = valid[:, :, None]
     col_ok = valid[:, None, :]

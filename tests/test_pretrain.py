@@ -508,3 +508,41 @@ def test_metric_scale_sky_and_log_variants():
     _, d_log = losses.regr3d_conf_loss(far_gt, gt2, far_pr1, perfect2,
                                        normalize=False, loss_in_log=True)
     assert float(d_log["regr3d_1"]) < float(d_lin["regr3d_1"])
+
+
+def test_ap_matching_score():
+    """APLoss semantics (mast3r/losses.py:275-347): perfect diagonal
+    separation -> AP 1; each query with k higher-ranked negatives -> AP
+    1/(1+k); '1-mean' reduction is the training loss."""
+    from instantsplat_tpu.train_dust3r.losses import (
+        ap_matching_score,
+        get_similarities,
+    )
+
+    rng = np.random.default_rng(0)
+    b, n, d = 2, 16, 8
+    base = rng.standard_normal((b, n, d)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=-1, keepdims=True)
+    assert float(ap_matching_score(base * 4, base * 4)) > 0.99
+
+    # hand-built scores: query 0's positive is outranked by exactly one
+    # negative => AP(q0) = 1/2, others perfect
+    d1 = np.eye(4, dtype=np.float32)[None]  # [1,4,4] one-hot descriptors
+    d2 = d1.copy()
+    d2[0, 1] += 2.0 * d1[0, 0]  # negative j=1 scores 2.0 against query 0
+    ap = float(ap_matching_score(d1, d2))
+    np.testing.assert_allclose(ap, (0.5 + 1 + 1 + 1) / 4, atol=1e-6)
+
+    # euclidean similarity mode is monotone-equivalent for ranking
+    s_dot = np.asarray(get_similarities(base, base))
+    s_euc = np.asarray(get_similarities(base, base, euc=True))
+    assert s_euc.min() > 0 and s_euc.max() <= 1.0 + 1e-6
+    assert float(ap_matching_score(base, base, euc=True)) == \
+        float(ap_matching_score(base, base))
+
+    # valid mask restricts the average
+    vm = np.zeros((1, 4), bool)
+    vm[0, 0] = True
+    np.testing.assert_allclose(
+        float(ap_matching_score(d1, d2, valid_matches=vm)), 0.5,
+        atol=1e-6)
