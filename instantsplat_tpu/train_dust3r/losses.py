@@ -329,7 +329,7 @@ def ap_matching_score(desc1, desc2, valid_matches=None, euc=False):
 
 def infonce_matching_loss(desc1, desc2, valid_matches=None,
                           temperature=0.07, eps=1e-8, mode="proper",
-                          euc=False):
+                          euc=False, reduction="mean"):
     """InfoNCE over matched descriptor pairs (mast3r/losses.py:237-273).
 
     desc1/desc2: [B, N, D] descriptors of CORRESPONDING points (positives
@@ -368,4 +368,69 @@ def infonce_matching_loss(desc1, desc2, valid_matches=None,
             + (log_pos - jax.nn.logsumexp(sim, axis=-1))
         )
     loss = jnp.where(valid, loss, 0.0)
+    if reduction == "none":
+        return loss  # [B, N] per-match (0 where invalid)
     return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def matching_loss(gt1, gt2, pred1, pred2, withconf=False, use_pts3d=False,
+                  temperature=0.07, mode="proper", alpha=1.0,
+                  confmode="prod", neg_conf_loss_quantile=0.0):
+    """Per-image descriptor matching loss over GT correspondences
+    (mast3r/losses.py:348-460 MatchingLoss; withconf=True adds the
+    ConfMatchingLoss weighting, losses.py:463-508).
+
+    gt_k['corres']: [B, N, 2] int (x, y) pixel coords of matched points;
+    gt1['valid_corres']: [B, N] bool. pred_k carries dense 'desc' +
+    'desc_conf' maps ([B, H, W, D] / [B, H, W]); use_pts3d matches on
+    pointmaps with euclidean similarity instead (losses.py:384-388).
+    The reference's blocksize shuffling is a memory cap for N > 4096 —
+    here the [B, N, N] similarity stays static-shape; subsample
+    correspondences upstream to bound N. negatives_padding is likewise a
+    CUDA-memory workaround, not replicated.
+
+    Returns (scalar loss, details dict).
+    """
+    desc1 = pred1["pts3d"] if use_pts3d else pred1["desc"]
+    desc2 = (pred2.get("pts3d_in_other_view", pred2.get("pts3d"))
+             if use_pts3d else pred2["desc"])
+    euc = bool(use_pts3d)
+    xy1 = jnp.asarray(gt1["corres"], jnp.int32)
+    xy2 = jnp.asarray(gt2["corres"], jnp.int32)
+    valid = jnp.asarray(gt1["valid_corres"], bool)
+    b = desc1.shape[0]
+    bi = jnp.arange(b)[:, None]
+    d1 = desc1[bi, xy1[..., 1], xy1[..., 0]]
+    d2 = desc2[bi, xy2[..., 1], xy2[..., 0]]
+    per = infonce_matching_loss(d1, d2, valid_matches=valid,
+                                temperature=temperature, mode=mode,
+                                euc=euc, reduction="none")
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    details = dict(matching_loss=jnp.sum(per) / n_valid)
+    if not withconf:
+        return details["matching_loss"], details
+
+    conf_key = "conf" if use_pts3d else "desc_conf"
+    c1 = pred1[conf_key][bi, xy1[..., 1], xy1[..., 0]]
+    c2 = pred2[conf_key][bi, xy2[..., 1], xy2[..., 0]]
+    if confmode == "prod":
+        conf = c1 * c2
+    elif confmode == "mean":
+        conf = 0.5 * (c1 + c2)
+    else:
+        raise ValueError(f"unknown confmode {confmode}")
+    conf = jnp.maximum(conf, 1e-8)
+    cl = per * conf - alpha * jnp.log(conf)
+    loss = jnp.sum(jnp.where(valid, cl, 0.0)) / n_valid
+    if neg_conf_loss_quantile:
+        # unmatched points' confidences chase the positive-loss quantile
+        # (losses.py:498-507)
+        import jax
+
+        neg_val = jax.lax.stop_gradient(jnp.nanquantile(
+            jnp.where(valid, per, jnp.nan), neg_conf_loss_quantile))
+        ncl = neg_val * conf - alpha * jnp.log(conf)
+        n_neg = jnp.maximum(jnp.sum(~valid), 1)
+        loss = loss + jnp.sum(jnp.where(valid, 0.0, ncl)) / n_neg
+    details["matching_conf_loss"] = loss
+    return loss, details

@@ -546,3 +546,54 @@ def test_ap_matching_score():
     np.testing.assert_allclose(
         float(ap_matching_score(d1, d2, valid_matches=vm)), 0.5,
         atol=1e-6)
+
+
+def test_matching_loss_over_correspondences():
+    """MatchingLoss gathers descriptors at GT correspondence pixels
+    (mast3r/losses.py:348-460); ConfMatchingLoss weights matches by
+    desc-confidence with an alpha*log regularizer (losses.py:463-508)."""
+    from instantsplat_tpu.train_dust3r.losses import matching_loss
+
+    rng = np.random.default_rng(0)
+    b, h, w, d, n = 2, 8, 12, 16, 10
+    # descriptor field shared by both views at corresponding pixels
+    field = rng.standard_normal((b, h, w, d)).astype(np.float32)
+    field /= np.linalg.norm(field, axis=-1, keepdims=True)
+    xy = np.stack([rng.integers(0, w, (b, n)),
+                   rng.integers(0, h, (b, n))], -1)
+    gt1 = dict(corres=xy, valid_corres=np.ones((b, n), bool))
+    gt2 = dict(corres=xy)
+    pred_good = dict(desc=field * 4,
+                     desc_conf=np.full((b, h, w), 2.0, np.float32))
+    shuf = field[:, :, ::-1] * 4  # misaligned descriptors
+    pred_bad = dict(desc=shuf,
+                    desc_conf=np.full((b, h, w), 2.0, np.float32))
+
+    l_good, _ = matching_loss(gt1, gt2, pred_good, pred_good,
+                              temperature=0.07)
+    l_bad, _ = matching_loss(gt1, gt2, pred_bad, pred_good,
+                             temperature=0.07)
+    assert float(l_good) < float(l_bad)
+
+    # withconf: higher confidence on bad matches raises the loss,
+    # on good matches the alpha*log term rewards confidence
+    hi = dict(pred_bad, desc_conf=np.full((b, h, w), 8.0, np.float32))
+    lb, _ = matching_loss(gt1, gt2, pred_bad, pred_good, withconf=True)
+    lbh, _ = matching_loss(gt1, gt2, hi, pred_good, withconf=True)
+    assert float(lbh) > float(lb)
+
+    # neg quantile: invalid matches' confs get supervised; loss finite
+    gt1_nv = dict(gt1, valid_corres=np.concatenate(
+        [np.ones((b, n // 2), bool), np.zeros((b, n - n // 2), bool)], 1))
+    lq, det = matching_loss(gt1_nv, gt2, pred_good, pred_good,
+                            withconf=True, neg_conf_loss_quantile=0.5)
+    assert np.isfinite(float(lq))
+    assert "matching_conf_loss" in det
+
+    # use_pts3d: matching on pointmaps with euclidean similarity
+    pts = rng.standard_normal((b, h, w, 3)).astype(np.float32)
+    p1 = dict(pts3d=pts, conf=np.full((b, h, w), 2.0, np.float32))
+    p2 = dict(pts3d_in_other_view=pts,
+              conf=np.full((b, h, w), 2.0, np.float32))
+    l3, _ = matching_loss(gt1, gt2, p1, p2, use_pts3d=True)
+    assert np.isfinite(float(l3))
