@@ -128,9 +128,84 @@ def crop_resize_view(img, depth, K, resolution, rng=None, aug_crop=0):
                      (l, t, l + resolution[0], t + resolution[1]))
 
 
+# -- GT correspondence extraction ------------------------------------------
+# (mast3r/datasets/utils/cropping.py:22-118): project each view's world
+# points into the other's image, quantize to pixels, keep reciprocal
+# round-trips as positive matches; optionally subsample to a fixed count
+# and pad with non-reciprocal negatives (valid=False) — the static-shape
+# 'corres'/'valid_corres' batch fields losses.matching_loss consumes.
+
+
+def _reproject_flat(pts_world, K, c2w, shape):
+    """World points -> clipped flat pixel indices in the target view."""
+    h, w = shape
+    w2c = np.linalg.inv(np.asarray(c2w, np.float64))
+    cam = pts_world.reshape(-1, 3) @ w2c[:3, :3].T + w2c[:3, 3]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        uv = cam[:, :2] / cam[:, 2:3]
+    px = uv[:, 0] * K[0, 0] + K[0, 2]
+    py = uv[:, 1] * K[1, 1] + K[1, 2]
+    with np.errstate(invalid="ignore"):
+        qx = np.round(np.nan_to_num(px, nan=-1.0)).astype(np.int64)
+        qy = np.round(np.nan_to_num(py, nan=-1.0)).astype(np.int64)
+    inside = (qx >= 0) & (qx < w) & (qy >= 0) & (qy < h) & (cam[:, 2] > 0)
+    flat = np.clip(qx, 0, w - 1) + w * np.clip(qy, 0, h - 1)
+    # out-of-view pixels land on a clipped border pixel exactly like the
+    # reference's ravel_xy clamp; reciprocity filters them out
+    return flat, inside
+
+
+def extract_correspondences_from_pts3d(view1, view2, target_n_corres=None,
+                                       rng=None, nneg=0.0):
+    """view_k: dict(pts3d [H,W,3] world-frame, camera_pose c2w [4,4],
+    K [3,3]). -> (xy1 [N,2], xy2 [N,2]) int pixel coords, or with
+    target_n_corres set -> (xy1 [T,2], xy2 [T,2], valid [T] bool) with
+    `nneg` fraction of deliberate non-matches (valid=False)."""
+    h1, w1 = view1["pts3d"].shape[:2]
+    h2, w2 = view2["pts3d"].shape[:2]
+    c12, in12 = _reproject_flat(view1["pts3d"], view2["K"],
+                                view2["camera_pose"], (h2, w2))
+    c21, in21 = _reproject_flat(view2["pts3d"], view1["K"],
+                                view1["camera_pose"], (h1, w1))
+    recip1 = (c21[c12] == np.arange(len(c12))) & in12
+    pos1 = np.flatnonzero(recip1)
+    pos2 = c12[pos1]
+    recip2 = (c12[c21] == np.arange(len(c21))) & in21
+
+    def unravel(pos, w):
+        return np.stack([pos % w, pos // w], -1).astype(np.int32)
+
+    if target_n_corres is None:
+        return unravel(pos1, w1), unravel(pos2, w2)
+
+    rng = rng or np.random.default_rng()
+    n_pos = min(len(pos1), int(target_n_corres * (1 - nneg)))
+    n_neg = min(target_n_corres - n_pos,
+                int(min((~recip1).sum(), (~recip2).sum())))
+    n_pos = target_n_corres - n_neg
+    if n_pos < len(pos1):
+        perm = rng.permutation(len(pos1))[:n_pos]
+        pos1, pos2 = pos1[perm], pos2[perm]
+    elif n_pos > len(pos1):  # degenerate views: repeat positives
+        reps = np.resize(np.arange(max(len(pos1), 1)), n_pos)
+        pos1 = pos1[reps] if len(pos1) else np.zeros(n_pos, int)
+        pos2 = pos2[reps] if len(pos2) else np.zeros(n_pos, int)
+    valid = np.ones(n_pos, bool)
+    if n_neg > 0:
+        def pick(mask):
+            p = (~mask).astype(np.float64)
+            return rng.choice(len(mask), size=n_neg, replace=False,
+                              p=p / p.sum())
+
+        pos1 = np.concatenate([pos1, pick(recip1)])
+        pos2 = np.concatenate([pos2, pick(recip2)])
+        valid = np.concatenate([valid, np.zeros(n_neg, bool)])
+    return unravel(pos1, w1), unravel(pos2, w2), valid
+
+
 class PosedMultiViewDataset:
     def __init__(self, root, scenes=None, pair_window=3, resolution=None,
-                 aug_crop=0):
+                 aug_crop=0, n_corres=0, nneg=0.0):
         """resolution: optional (W, H) target — or a LIST of (W, H)
         choices, one drawn per batch with all views in the batch sharing
         it (the BatchedRandomSampler aspect-ratio-pool constraint,
@@ -138,11 +213,17 @@ class PosedMultiViewDataset:
         through `crop_resize_view` (the reference's shared loader
         transform) before unprojection, so intrinsics, depth, and pts3d
         stay consistent with the crop. aug_crop > 1 enables the random
-        rescale-target enlargement augmentation."""
+        rescale-target enlargement augmentation. n_corres > 0 adds
+        fixed-count GT correspondence fields (gt1['corres'],
+        gt1['valid_corres'], gt2['corres']) to every batch — the
+        matching-loss supervision (mast3r_base_stereo_view_dataset.py:
+        104-137), with `nneg` fraction of deliberate negatives."""
         if resolution is not None and not isinstance(resolution, list):
             resolution = [tuple(resolution)]
         self.resolutions = resolution
         self.aug_crop = aug_crop
+        self.n_corres = n_corres
+        self.nneg = nneg
         self.root = Path(root)
         self.scenes = []
         scene_dirs = ([self.root / s for s in scenes] if scenes
@@ -196,6 +277,7 @@ class PosedMultiViewDataset:
             camera_pose=c2w,
             valid_mask=depth > 0,
             true_shape=np.int32([h, w]),
+            K=np.asarray(K, np.float32),
         )
         if h > w:
             # transpose_to_landscape (dust3r/datasets/base/
@@ -245,7 +327,7 @@ class PosedMultiViewDataset:
                     )
 
                 b1, b2 = stack(v1s), stack(v2s)
-                yield dict(
+                out = dict(
                     img1=b1["img"], img2=b2["img"],
                     gt1=dict(pts3d=b1["pts3d"],
                              camera_pose=b1["camera_pose"],
@@ -254,6 +336,38 @@ class PosedMultiViewDataset:
                              camera_pose=b2["camera_pose"],
                              valid_mask=b2["valid_mask"]),
                 )
+                if self.n_corres:
+                    c1s, c2s, cvs = [], [], []
+                    for va, vb in zip(v1s, v2s):
+                        xy1, xy2, cv = self._pair_corres(va, vb, rng)
+                        c1s.append(xy1)
+                        c2s.append(xy2)
+                        cvs.append(cv)
+                    out["gt1"]["corres"] = jnp.asarray(np.stack(c1s))
+                    out["gt1"]["valid_corres"] = jnp.asarray(np.stack(cvs))
+                    out["gt2"]["corres"] = jnp.asarray(np.stack(c2s))
+                yield out
+
+    def _pair_corres(self, v1, v2, rng):
+        """Fixed-count GT correspondences for one view pair. Transposed
+        (portrait) views are un-transposed for the projective round-trip
+        and the resulting (x, y) swapped back into the stored layout."""
+        def orient(v):
+            t = bool(v["true_shape"][0] > v["true_shape"][1])
+            pts = np.asarray(v["pts3d"])
+            return dict(pts3d=np.swapaxes(pts, 0, 1) if t else pts,
+                        K=v["K"], camera_pose=v["camera_pose"]), t
+
+        o1, t1 = orient(v1)
+        o2, t2 = orient(v2)
+        xy1, xy2, cv = extract_correspondences_from_pts3d(
+            o1, o2, target_n_corres=self.n_corres, rng=rng,
+            nneg=self.nneg)
+        if t1:
+            xy1 = xy1[:, ::-1]
+        if t2:
+            xy2 = xy2[:, ::-1]
+        return xy1, xy2, cv
 
 
 def write_synthetic_scene(root, name="scene0", n_views=6, h=32, w=48,

@@ -597,3 +597,54 @@ def test_matching_loss_over_correspondences():
               conf=np.full((b, h, w), 2.0, np.float32))
     l3, _ = matching_loss(gt1, gt2, p1, p2, use_pts3d=True)
     assert np.isfinite(float(l3))
+
+
+def test_gt_correspondence_extraction(tmp_path):
+    """GT corres (mast3r/datasets/utils/cropping.py:22-118): reciprocal
+    projective round-trips across a synthetic scene; matched pixels must
+    refer to the SAME world point, negatives must be flagged invalid, and
+    the dataset emits the static-shape fields matching_loss consumes."""
+    from instantsplat_tpu.train_dust3r.datasets import (
+        PosedMultiViewDataset,
+        extract_correspondences_from_pts3d,
+        write_synthetic_scene,
+    )
+
+    write_synthetic_scene(tmp_path, "s0", n_views=3, h=32, w=48)
+    ds = PosedMultiViewDataset(tmp_path, pair_window=1, n_corres=64,
+                               nneg=0.25)
+    b = next(iter(ds.batches(batch_size=2, seed=0)))
+    xy1 = np.asarray(b["gt1"]["corres"])
+    xy2 = np.asarray(b["gt2"]["corres"])
+    cv = np.asarray(b["gt1"]["valid_corres"])
+    assert xy1.shape == (2, 64, 2) and cv.shape == (2, 64)
+    assert cv.any() and (~cv).any()  # nneg produced real negatives
+    p1 = np.asarray(b["gt1"]["pts3d"])
+    p2 = np.asarray(b["gt2"]["pts3d"])
+    for k in range(2):
+        a = p1[k][xy1[k, cv[k], 1], xy1[k, cv[k], 0]]
+        c = p2[k][xy2[k, cv[k], 1], xy2[k, cv[k], 0]]
+        # same world point up to pixel quantization of the z=4 plane
+        assert np.abs(a - c).max() < 0.2, np.abs(a - c).max()
+
+    # raw extraction without target keeps all reciprocal matches
+    sc = ds.scenes[0]
+    va = ds._load_view(sc, 0)
+    vb = ds._load_view(sc, 1)
+    v = dict(pts3d=va["pts3d"], K=va["K"], camera_pose=va["camera_pose"])
+    w = dict(pts3d=vb["pts3d"], K=vb["K"], camera_pose=vb["camera_pose"])
+    m1, m2 = extract_correspondences_from_pts3d(v, w)
+    assert len(m1) > 100
+    a = va["pts3d"][m1[:, 1], m1[:, 0]]
+    c = vb["pts3d"][m2[:, 1], m2[:, 0]]
+    assert np.abs(a - c).max() < 0.2
+
+    # matching loss consumes the batch directly
+    from instantsplat_tpu.train_dust3r.losses import matching_loss
+
+    h_, w_ = p1.shape[1:3]
+    rng = np.random.default_rng(0)
+    desc = rng.standard_normal((2, h_, w_, 8)).astype(np.float32)
+    pred = dict(desc=desc, desc_conf=np.full((2, h_, w_), 2.0, np.float32))
+    val, _ = matching_loss(b["gt1"], b["gt2"], pred, pred, withconf=True)
+    assert np.isfinite(float(val))
