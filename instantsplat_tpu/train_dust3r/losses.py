@@ -434,3 +434,24 @@ def matching_loss(gt1, gt2, pred1, pred2, withconf=False, use_pts3d=False,
         loss = loss + jnp.sum(jnp.where(valid, 0.0, ncl)) / n_neg
     details["matching_conf_loss"] = loss
     return loss, details
+
+
+def mast3r_finetune_loss(gt1, gt2, pred1, pred2, alpha=0.2,
+                         match_weight=1.0, match_temperature=0.07,
+                         **regr_kw):
+    """Combined MASt3R fine-tuning objective: the confidence-weighted
+    Regr3D term plus the confidence-weighted descriptor matching term
+    (the reference trains MASt3R with ConfLoss(Regr3D...) +
+    ConfMatchingLoss(MatchingLoss(InfoNCE)) — mast3r/losses.py:348-508).
+    The matching term engages when the batch carries GT correspondences
+    (gt1['corres'] / gt1['valid_corres'] / gt2['corres'], produced by
+    datasets.PosedMultiViewDataset(n_corres=...))."""
+    loss, details = regr3d_conf_loss(gt1, gt2, pred1, pred2, alpha=alpha,
+                                     **regr_kw)
+    if "corres" in gt1:
+        ml, md = matching_loss(gt1, gt2, pred1, pred2, withconf=True,
+                               alpha=alpha,
+                               temperature=match_temperature)
+        loss = loss + match_weight * ml
+        details.update(md)
+    return loss, details

@@ -648,3 +648,26 @@ def test_gt_correspondence_extraction(tmp_path):
     pred = dict(desc=desc, desc_conf=np.full((2, h_, w_), 2.0, np.float32))
     val, _ = matching_loss(b["gt1"], b["gt2"], pred, pred, withconf=True)
     assert np.isfinite(float(val))
+
+
+def test_mast3r_finetune_step_with_matching(tmp_path):
+    """End-to-end MASt3R fine-tuning objective: Regr3D conf loss +
+    conf-weighted descriptor matching over dataset-produced GT corres,
+    through one DP training step."""
+    from instantsplat_tpu.train_dust3r.datasets import (
+        PosedMultiViewDataset,
+        write_synthetic_scene,
+    )
+    from instantsplat_tpu.train_dust3r.losses import mast3r_finetune_loss
+
+    write_synthetic_scene(tmp_path, "s0", n_views=3, h=32, w=48)
+    ds = PosedMultiViewDataset(tmp_path, pair_window=1, n_corres=32)
+    batches = list(ds.batches(batch_size=2, seed=0, n_epochs=2))
+    params = mast3r.init_params(TINY, seed=0)
+    p2, history = trainer.train_loop(
+        params, TINY, iter(batches), n_steps=2, log_every=1,
+        base_lr=5e-4, warmup_steps=1, total_steps=2,
+        loss_fn=mast3r_finetune_loss)
+    ls = [m["loss"] for _, m in history]
+    assert np.isfinite(ls).all()
+    assert "matching_conf_loss" in history[0][1]
