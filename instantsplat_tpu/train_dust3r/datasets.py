@@ -128,6 +128,47 @@ def crop_resize_view(img, depth, K, resolution, rng=None, aug_crop=0):
                      (l, t, l + resolution[0], t + resolution[1]))
 
 
+# -- color augmentation -----------------------------------------------------
+# The reference's training transform is ColorJitter(0.5, 0.5, 0.5, 0.1) +
+# ImgNorm (dust3r/datasets/utils/transforms.py:11); ImgNorm (x*2-1) is
+# applied inside the model here (models/mast3r.py), so the dataset only
+# jitters. torchvision semantics, numpy implementation.
+
+
+def color_jitter(img, rng, brightness=0.5, contrast=0.5, saturation=0.5,
+                 hue=0.1):
+    """Randomized brightness/contrast/saturation/hue jitter of an
+    [H,W,3] float image in [0,1], ops applied in random order like
+    torchvision.transforms.ColorJitter."""
+    from matplotlib.colors import hsv_to_rgb, rgb_to_hsv
+
+    img = np.asarray(img, np.float32)
+
+    def do_brightness(x):
+        return x * rng.uniform(max(0, 1 - brightness), 1 + brightness)
+
+    def do_contrast(x):
+        f = rng.uniform(max(0, 1 - contrast), 1 + contrast)
+        gray = float((x @ np.array([0.299, 0.587, 0.114])).mean())
+        return gray + (x - gray) * f
+
+    def do_saturation(x):
+        f = rng.uniform(max(0, 1 - saturation), 1 + saturation)
+        gray = (x @ np.array([0.299, 0.587, 0.114]))[..., None]
+        return gray + (x - gray) * f
+
+    def do_hue(x):
+        d = rng.uniform(-hue, hue)
+        hsv = rgb_to_hsv(np.clip(x, 0.0, 1.0))
+        hsv[..., 0] = (hsv[..., 0] + d) % 1.0
+        return hsv_to_rgb(hsv)
+
+    ops = [do_brightness, do_contrast, do_saturation, do_hue]
+    for i in rng.permutation(len(ops)):
+        img = ops[i](img)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
 # -- GT correspondence extraction ------------------------------------------
 # (mast3r/datasets/utils/cropping.py:22-118): project each view's world
 # points into the other's image, quantize to pixels, keep reciprocal
@@ -205,7 +246,7 @@ def extract_correspondences_from_pts3d(view1, view2, target_n_corres=None,
 
 class PosedMultiViewDataset:
     def __init__(self, root, scenes=None, pair_window=3, resolution=None,
-                 aug_crop=0, n_corres=0, nneg=0.0):
+                 aug_crop=0, n_corres=0, nneg=0.0, transform=None):
         """resolution: optional (W, H) target — or a LIST of (W, H)
         choices, one drawn per batch with all views in the batch sharing
         it (the BatchedRandomSampler aspect-ratio-pool constraint,
@@ -217,13 +258,17 @@ class PosedMultiViewDataset:
         fixed-count GT correspondence fields (gt1['corres'],
         gt1['valid_corres'], gt2['corres']) to every batch — the
         matching-loss supervision (mast3r_base_stereo_view_dataset.py:
-        104-137), with `nneg` fraction of deliberate negatives."""
+        104-137), with `nneg` fraction of deliberate negatives.
+        transform='color_jitter' applies the reference's training color
+        augmentation (transforms.py:11) to images only."""
         if resolution is not None and not isinstance(resolution, list):
             resolution = [tuple(resolution)]
         self.resolutions = resolution
         self.aug_crop = aug_crop
         self.n_corres = n_corres
         self.nneg = nneg
+        assert transform in (None, "color_jitter"), transform
+        self.transform = transform
         self.root = Path(root)
         self.scenes = []
         scene_dirs = ([self.root / s for s in scenes] if scenes
@@ -264,6 +309,8 @@ class PosedMultiViewDataset:
             img, depth, K = crop_resize_view(
                 img, depth, K, resolution, rng=rng,
                 aug_crop=self.aug_crop)
+        if self.transform == "color_jitter" and rng is not None:
+            img = color_jitter(img, rng)
         h, w = depth.shape
         gx, gy = np.meshgrid(np.arange(w), np.arange(h))
         xy = np.stack([(gx - K[0, 2]) / K[0, 0],

@@ -671,3 +671,32 @@ def test_mast3r_finetune_step_with_matching(tmp_path):
     ls = [m["loss"] for _, m in history]
     assert np.isfinite(ls).all()
     assert "matching_conf_loss" in history[0][1]
+
+
+def test_color_jitter(tmp_path):
+    from instantsplat_tpu.train_dust3r.datasets import (
+        PosedMultiViewDataset,
+        color_jitter,
+        write_synthetic_scene,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.random((16, 20, 3)).astype(np.float32)
+    out = color_jitter(img, np.random.default_rng(1))
+    assert out.shape == img.shape and out.dtype == np.float32
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert np.abs(out - img).max() > 0.01  # actually changed
+    # deterministic under the same rng state
+    out2 = color_jitter(img, np.random.default_rng(1))
+    np.testing.assert_allclose(out, out2)
+
+    # dataset applies it to images only; geometry untouched
+    write_synthetic_scene(tmp_path, "s0", n_views=3, h=24, w=32)
+    plain = PosedMultiViewDataset(tmp_path, pair_window=1)
+    jit = PosedMultiViewDataset(tmp_path, pair_window=1,
+                                transform="color_jitter")
+    b0 = next(iter(plain.batches(2, seed=0)))
+    b1 = next(iter(jit.batches(2, seed=0)))
+    assert np.abs(np.asarray(b0["img1"]) - np.asarray(b1["img1"])).max() > 0.01
+    np.testing.assert_allclose(np.asarray(b0["gt1"]["pts3d"]),
+                               np.asarray(b1["gt1"]["pts3d"]))
