@@ -246,8 +246,13 @@ class SceneViz:
         """Colored point dump of every object's vertices."""
         from instantsplat_tpu.data.ply import _write_ply
 
-        pos = np.concatenate([o[1] for o in self._objs if len(o[1])])
-        col = np.concatenate([o[2] for o in self._objs if len(o[1])])
+        parts = [o for o in self._objs if len(o[1])]
+        if parts:  # empty scene (or fully masked/NaN-filtered points)
+            pos = np.concatenate([o[1] for o in parts])
+            col = np.concatenate([o[2] for o in parts])
+        else:  # write a valid 0-vertex PLY, like export_glb's empty case
+            pos = np.zeros((0, 3), np.float32)
+            col = np.zeros((0, 3), np.float32)
         col8 = (np.clip(col, 0, 1) * 255).astype(np.uint8)
         _write_ply(path, [
             ("x", pos[:, 0].astype(np.float32)),

@@ -248,7 +248,11 @@ class GlobalAligner:
                     res = _pnp.fast_pnp(pts3d[n], im_focals[n], msk,
                                         niter_pnp=niter_pnp)
                     if res is not None:
-                        im_poses[n] = np.asarray(res[1])  # cam2world
+                        # keep BOTH outputs (init_im_poses.py:213
+                        # `im_focals[i], im_poses[i] = res`): when the
+                        # focal was unknown, fast_pnp's sweep estimated it
+                        im_focals[n], im_poses[n] = (
+                            float(res[0]), np.asarray(res[1]))  # cam2world
             if im_poses[n] is None:
                 for i, j in by_score:
                     if i == n and pts3d[n] is not None:
@@ -258,6 +262,22 @@ class GlobalAligner:
                         break
             if im_poses[n] is None:
                 im_poses[n] = np.eye(4)
+        # images that never appear on the i-side of an edge can still have
+        # no focal here (the completion loop keys pred_i by i, and PnP may
+        # decline): Weiszfeld on the fused cloud in the now-known camera
+        # frame, else the median of the known focals — never leave a None
+        # for focal_avg's np.mean / _init_from_pts3d's focal write.
+        known_f = [f for f in im_focals if f is not None]
+        for n in range(self.n_imgs):
+            if im_focals[n] is None:
+                if pts3d[n] is not None:
+                    cam_pts = G.geotrf(
+                        np.linalg.inv(im_poses[n]),
+                        np.asarray(pts3d[n], np.float64).reshape(-1, 3),
+                    ).reshape(pts3d[n].shape)
+                    im_focals[n] = G.estimate_focal_weiszfeld(cam_pts)
+                elif known_f:
+                    im_focals[n] = float(np.median(known_f))
         im_poses = np.stack(im_poses)
 
         if known_focal is not None:

@@ -380,11 +380,11 @@ def sparse_global_alignment(
     # dust3r/post_process.py:33-56), pp at the image center
     if focals is None:
         f0 = np.empty(v)
-        got = [G.estimate_focal_weiszfeld(own[i]) for i in sorted(own)]
-        mean_f = float(np.mean(got)) if got else 0.8 * max(h, w)
+        got = {i: G.estimate_focal_weiszfeld(own[i]) for i in sorted(own)}
+        mean_f = (float(np.mean(list(got.values())))
+                  if got else 0.8 * max(h, w))
         for i in range(v):
-            f0[i] = (G.estimate_focal_weiszfeld(own[i])
-                     if i in own else mean_f)
+            f0[i] = got.get(i, mean_f)
     else:
         f0 = np.broadcast_to(np.asarray(focals, np.float64), (v,)).copy()
 

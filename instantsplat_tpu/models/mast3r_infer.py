@@ -54,8 +54,10 @@ def infer_pairs(
 ) -> PairPrediction:
     """images [V, H, W, 3] in [0,1] (or a list of same-shape images);
     pairs: [(i, j)] directed. For images of MIXED shapes (portrait +
-    landscape in one scene) use `infer_pairs_mixed`, which this function
-    dispatches to automatically when handed a mixed-shape list.
+    landscape in one scene) call `infer_pairs_mixed` — its per-edge maps
+    have per-image shapes, which PairPrediction's stacked arrays cannot
+    represent, so this function refuses mixed lists rather than silently
+    returning a different type.
 
     dtype=jnp.bfloat16 runs the transformer in mixed precision (weights +
     activations bf16, LayerNorm/softmax statistics and head postprocess
@@ -63,8 +65,12 @@ def infer_pairs(
     if isinstance(images, (list, tuple)):
         shapes = {tuple(np.asarray(im).shape[:2]) for im in images}
         if len(shapes) > 1:
-            return infer_pairs_mixed(params, cfg, images, pairs,
-                                     batch_size=batch_size, dtype=dtype)
+            raise TypeError(
+                f"infer_pairs got images of mixed shapes {sorted(shapes)}; "
+                "its PairPrediction return type holds same-shape stacked "
+                "maps. Use models.mast3r_infer.infer_pairs_mixed (returns "
+                "one dict per pair, each map in its own image's shape)."
+            )
         images = np.stack([np.asarray(im) for im in images])
     images = jnp.asarray(images, jnp.float32)
     if dtype is not None:

@@ -220,17 +220,21 @@ def extract_correspondences_from_pts3d(view1, view2, target_n_corres=None,
         return unravel(pos1, w1), unravel(pos2, w2)
 
     rng = rng or np.random.default_rng()
+    # Reference slot accounting (cropping.py:39-54): positives capped by
+    # availability, the shortfall filled with real negatives (valid=False
+    # non-reciprocal pixels) — never fabricated positives. The reference
+    # asserts when even negatives can't fill the quota; here (generic
+    # directory data, zero-overlap pairs possible) the residual — only
+    # reachable on near-fully-reciprocal degenerate views — pads with
+    # valid=False zero rows that the masked matching losses ignore.
+    avail_neg = int(min((~recip1).sum(), (~recip2).sum()))
     n_pos = min(len(pos1), int(target_n_corres * (1 - nneg)))
-    n_neg = min(target_n_corres - n_pos,
-                int(min((~recip1).sum(), (~recip2).sum())))
-    n_pos = target_n_corres - n_neg
+    n_neg = min(target_n_corres - n_pos, avail_neg)
+    n_pos = min(target_n_corres - n_neg, len(pos1))
+    n_pad = target_n_corres - n_pos - n_neg
     if n_pos < len(pos1):
         perm = rng.permutation(len(pos1))[:n_pos]
         pos1, pos2 = pos1[perm], pos2[perm]
-    elif n_pos > len(pos1):  # degenerate views: repeat positives
-        reps = np.resize(np.arange(max(len(pos1), 1)), n_pos)
-        pos1 = pos1[reps] if len(pos1) else np.zeros(n_pos, int)
-        pos2 = pos2[reps] if len(pos2) else np.zeros(n_pos, int)
     valid = np.ones(n_pos, bool)
     if n_neg > 0:
         def pick(mask):
@@ -241,6 +245,10 @@ def extract_correspondences_from_pts3d(view1, view2, target_n_corres=None,
         pos1 = np.concatenate([pos1, pick(recip1)])
         pos2 = np.concatenate([pos2, pick(recip2)])
         valid = np.concatenate([valid, np.zeros(n_neg, bool)])
+    if n_pad > 0:
+        pos1 = np.concatenate([pos1, np.zeros(n_pad, int)])
+        pos2 = np.concatenate([pos2, np.zeros(n_pad, int)])
+        valid = np.concatenate([valid, np.zeros(n_pad, bool)])
     return unravel(pos1, w1), unravel(pos2, w2), valid
 
 

@@ -352,10 +352,11 @@ def infonce_matching_loss(desc1, desc2, valid_matches=None,
     import jax
 
     sim = get_similarities(d1, d2, euc) / temperature
-    # mask invalid rows/cols out of every normalization
-    row_ok = valid[:, :, None]
-    col_ok = valid[:, None, :]
-    sim = jnp.where(row_ok & col_ok, sim, -jnp.inf)
+    # NaN similarities are ignored (reference losses.py:256); invalid rows
+    # stay IN the normalizations — deliberate negatives (valid=False) act
+    # as distractors in every denominator, only the positive-pair term is
+    # masked out of the sum (reference losses.py:272 `loss[valid_matches]`).
+    sim = jnp.where(jnp.isnan(sim), -jnp.inf, sim)
     log_pos = jnp.diagonal(sim, axis1=-2, axis2=-1)  # [B, N]
     # log-sum-exp form: the reference exponentiates in place (losses.py:259)
     # which overflows at low temperature; this is the stable equivalent.
@@ -438,19 +439,22 @@ def matching_loss(gt1, gt2, pred1, pred2, withconf=False, use_pts3d=False,
 
 def mast3r_finetune_loss(gt1, gt2, pred1, pred2, alpha=0.2,
                          match_weight=1.0, match_temperature=0.07,
-                         **regr_kw):
+                         match_alpha=1.0, **regr_kw):
     """Combined MASt3R fine-tuning objective: the confidence-weighted
     Regr3D term plus the confidence-weighted descriptor matching term
     (the reference trains MASt3R with ConfLoss(Regr3D...) +
     ConfMatchingLoss(MatchingLoss(InfoNCE)) — mast3r/losses.py:348-508).
     The matching term engages when the batch carries GT correspondences
     (gt1['corres'] / gt1['valid_corres'] / gt2['corres'], produced by
-    datasets.PosedMultiViewDataset(n_corres=...))."""
+    datasets.PosedMultiViewDataset(n_corres=...)). `alpha` weights the
+    Regr3D ConfLoss log-conf regularizer; `match_alpha` the matching
+    term's (ConfMatchingLoss defaults alpha=1.0, mast3r/losses.py:469 —
+    the two are independent knobs in the reference recipe)."""
     loss, details = regr3d_conf_loss(gt1, gt2, pred1, pred2, alpha=alpha,
                                      **regr_kw)
     if "corres" in gt1:
         ml, md = matching_loss(gt1, gt2, pred1, pred2, withconf=True,
-                               alpha=alpha,
+                               alpha=match_alpha,
                                temperature=match_temperature)
         loss = loss + match_weight * ml
         details.update(md)

@@ -51,8 +51,16 @@ def slot_environment(slot: int, n_jobs: int) -> dict:
     """
     env = os.environ.copy()
     if n_jobs > 1:
-        env.setdefault("TPU_VISIBLE_DEVICES", str(slot))
-        env.setdefault("CUDA_VISIBLE_DEVICES", str(slot))
+        for key in ("TPU_VISIBLE_DEVICES", "CUDA_VISIBLE_DEVICES"):
+            # a parent-set restriction is a device POOL to index into, not
+            # a binding to inherit — inheriting it verbatim would pin every
+            # concurrent job to the same chip(s)
+            pool = env.get(key)
+            if pool:
+                visible = [d.strip() for d in pool.split(",") if d.strip()]
+                env[key] = visible[slot % len(visible)]
+            else:
+                env[key] = str(slot)
     return env
 
 

@@ -294,12 +294,17 @@ def test_load_checkpoint_from_torch_file(tmp_path):
 
 
 def test_infer_pairs_mixed_aspect(tiny_model):
-    """Mixed portrait + landscape image sets through infer_pairs: every
-    per-edge map comes back in its own image's true shape, and edges whose
-    views share one shape match the uniform-batch forward exactly
-    (reference mixed-shape semantics: dust3r/inference.py:62-64)."""
+    """Mixed portrait + landscape image sets through infer_pairs_mixed:
+    every per-edge map comes back in its own image's true shape, and edges
+    whose views share one shape match the uniform-batch forward exactly
+    (reference mixed-shape semantics: dust3r/inference.py:62-64).
+    infer_pairs itself REFUSES mixed lists (its PairPrediction contract
+    can't hold per-image shapes) with a pointer here."""
+    import pytest
+
     from instantsplat_tpu.init.pairs import make_pair_indices
-    from instantsplat_tpu.models.mast3r_infer import infer_pairs
+    from instantsplat_tpu.models.mast3r_infer import (infer_pairs,
+                                                      infer_pairs_mixed)
 
     params, cfg = tiny_model
     rng = np.random.default_rng(11)
@@ -307,7 +312,10 @@ def test_infer_pairs_mixed_aspect(tiny_model):
     imgs = [rng.random((h, w, 3)).astype(np.float32) for h, w in shapes]
     pairs = make_pair_indices(3, "complete", symmetrize=True)
 
-    res = infer_pairs(params, cfg, imgs, pairs)  # auto-dispatch to mixed
+    with pytest.raises(TypeError, match="infer_pairs_mixed"):
+        infer_pairs(params, cfg, imgs, pairs)
+
+    res = infer_pairs_mixed(params, cfg, imgs, pairs)
     assert isinstance(res, list) and len(res) == len(pairs)
     for (i, j), r in zip(pairs, res):
         hi, wi = shapes[i]

@@ -650,6 +650,56 @@ def test_gt_correspondence_extraction(tmp_path):
     assert np.isfinite(float(val))
 
 
+def test_correspondence_extraction_zero_overlap():
+    """Disjoint frusta (zero reciprocal matches): every emitted slot must
+    be valid=False — fabricated positives would actively pull unrelated
+    descriptors together (the reference refuses such pairs via assert,
+    cropping.py:48; the generic directory dataset instead fills the quota
+    with real negatives)."""
+    from instantsplat_tpu.train_dust3r.datasets import (
+        extract_correspondences_from_pts3d,
+    )
+
+    h, w = 16, 24
+    gx, gy = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    K = np.array([[20.0, 0, w / 2], [0, 20.0, h / 2], [0, 0, 1]])
+    z = 4.0
+    pts_a = np.stack([(gx - K[0, 2]) / K[0, 0] * z,
+                      (gy - K[1, 2]) / K[1, 1] * z,
+                      np.full_like(gx, z)], -1)
+    pts_b = pts_a + np.array([1000.0, 0.0, 0.0])  # far-disjoint scene
+    va = dict(pts3d=pts_a, K=K, camera_pose=np.eye(4))
+    pose_b = np.eye(4)
+    pose_b[0, 3] = 1000.0
+    vb = dict(pts3d=pts_b, K=K, camera_pose=pose_b)
+    xy1, xy2, valid = extract_correspondences_from_pts3d(
+        va, vb, target_n_corres=32, rng=np.random.default_rng(0))
+    assert xy1.shape == (32, 2) and valid.shape == (32,)
+    assert not valid.any()
+
+
+def test_infonce_negatives_are_distractors():
+    """valid=False rows stay in the softmax denominators (reference
+    losses.py:272 masks only the positive selection): replacing a
+    negative's descriptor must change the loss of the valid rows."""
+    from instantsplat_tpu.train_dust3r.losses import infonce_matching_loss
+
+    rng = np.random.default_rng(3)
+    b, n, d = 1, 16, 8
+    d1 = rng.standard_normal((b, n, d)).astype(np.float32)
+    d2 = rng.standard_normal((b, n, d)).astype(np.float32)
+    valid = np.ones((b, n), bool)
+    valid[:, -4:] = False
+    base = float(infonce_matching_loss(d1, d2, valid_matches=valid))
+    # make a negative row nearly identical to a valid row's positive
+    # -> a strong distractor in that row's denominator -> loss rises
+    d2_hard = d2.copy()
+    d2_hard[:, -1] = d2[:, 0] + 1e-3
+    hard = float(infonce_matching_loss(d1, d2_hard, valid_matches=valid))
+    assert hard > base + 1e-4
+
+
 def test_mast3r_finetune_step_with_matching(tmp_path):
     """End-to-end MASt3R fine-tuning objective: Regr3D conf loss +
     conf-weighted descriptor matching over dataset-produced GT corres,
