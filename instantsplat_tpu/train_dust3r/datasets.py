@@ -252,23 +252,73 @@ def extract_correspondences_from_pts3d(view1, view2, target_n_corres=None,
     return unravel(pos1, w1), unravel(pos2, w2), valid
 
 
-class PosedMultiViewDataset:
-    def __init__(self, root, scenes=None, pair_window=3, resolution=None,
-                 aug_crop=0, n_corres=0, nneg=0.0, transform=None):
-        """resolution: optional (W, H) target — or a LIST of (W, H)
-        choices, one drawn per batch with all views in the batch sharing
-        it (the BatchedRandomSampler aspect-ratio-pool constraint,
-        dust3r/datasets/base/batched_sampler.py:11-18). Every view passes
-        through `crop_resize_view` (the reference's shared loader
-        transform) before unprojection, so intrinsics, depth, and pts3d
-        stay consistent with the crop. aug_crop > 1 enables the random
-        rescale-target enlargement augmentation. n_corres > 0 adds
-        fixed-count GT correspondence fields (gt1['corres'],
-        gt1['valid_corres'], gt2['corres']) to every batch — the
-        matching-loss supervision (mast3r_base_stereo_view_dataset.py:
-        104-137), with `nneg` fraction of deliberate negatives.
-        transform='color_jitter' applies the reference's training color
-        augmentation (transforms.py:11) to images only."""
+# -- shared pair-dataset base ------------------------------------------------
+# The role of dust3r/datasets/base/{easy_dataset,base_stereo_view_dataset}.py:
+# subclasses produce RAW per-view data (image, depth, K, c2w) and a pair
+# index; this base applies the shared view transform (crop_resize_view +
+# color jitter + unprojection + transpose-to-landscape), emits jnp-ready
+# batches with optional GT-correspondence fields, and supports the
+# reference's dataset arithmetic (`a + b` concat, `n @ a` resize with
+# per-epoch resampling, `n * a` duplication — easy_dataset.py:11-21).
+
+
+def finalize_view(img, depth, K, c2w, rng=None, resolution=None,
+                  aug_crop=0, transform=None):
+    """RAW view -> training view dict (the _get_views postlude every
+    reference loader shares, base_stereo_view_dataset.py:185-226):
+    crop/resize with intrinsics update, optional color jitter, pointmap
+    unprojection, valid mask from depth>0, transpose-to-landscape."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    depth = np.asarray(depth, np.float32)
+    K = np.asarray(K, np.float32)
+    c2w = np.asarray(c2w, np.float32)
+    if resolution is not None:
+        img, depth, K = crop_resize_view(img, depth, K, resolution,
+                                         rng=rng, aug_crop=aug_crop)
+    if transform == "color_jitter" and rng is not None:
+        img = color_jitter(img, rng)
+    h, w = depth.shape
+    gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+    xy = np.stack([(gx - K[0, 2]) / K[0, 0],
+                   (gy - K[1, 2]) / K[1, 1]], -1)
+    pts_cam = np.concatenate([xy * depth[..., None], depth[..., None]], -1)
+    pts_world = pts_cam.reshape(-1, 3) @ c2w[:3, :3].T + c2w[:3, 3]
+    valid = (depth > 0) & np.isfinite(pts_world.reshape(h, w, 3)).all(-1)
+    view = dict(
+        img=img.astype(np.float32),
+        pts3d=np.nan_to_num(pts_world.reshape(h, w, 3)).astype(np.float32),
+        camera_pose=c2w,
+        valid_mask=valid,
+        true_shape=np.int32([h, w]),
+        K=np.asarray(K, np.float32),
+    )
+    if h > w:
+        # transpose_to_landscape (dust3r/datasets/base/
+        # base_stereo_view_dataset.py:115-117 via utils/misc.py):
+        # spatially transpose the arrays (values untouched) so every
+        # view in a batch stacks in landscape layout; true_shape
+        # records the real orientation for the ManyAR model path.
+        for k in ("img", "pts3d", "valid_mask"):
+            view[k] = np.swapaxes(view[k], 0, 1)
+    return view
+
+
+class PairViewDataset:
+    """Base class for pair datasets. Subclasses set the transform knobs
+    (resolutions/aug_crop/n_corres/nneg/transform) and implement
+    `__len__` + `_get_views(idx, rng, resolution) -> (view1, view2)`
+    (finalized view dicts, usually via `finalize_view`)."""
+
+    resolutions = None
+    aug_crop = 0
+    n_corres = 0
+    nneg = 0.0
+    transform = None
+
+    def _init_transform(self, resolution=None, aug_crop=0, n_corres=0,
+                        nneg=0.0, transform=None):
         if resolution is not None and not isinstance(resolution, list):
             resolution = [tuple(resolution)]
         self.resolutions = resolution
@@ -277,72 +327,30 @@ class PosedMultiViewDataset:
         self.nneg = nneg
         assert transform in (None, "color_jitter"), transform
         self.transform = transform
-        self.root = Path(root)
-        self.scenes = []
-        scene_dirs = ([self.root / s for s in scenes] if scenes
-                      else sorted(p for p in self.root.iterdir()
-                                  if p.is_dir()))
-        for sdir in scene_dirs:
-            meta = np.load(sdir / "poses.npz")
-            names = [str(n) for n in meta["names"]]
-            self.scenes.append(dict(
-                dir=sdir, names=names,
-                c2w=np.asarray(meta["c2w"], np.float32),
-                K=np.asarray(meta["K"], np.float32),
-            ))
-        self.pair_window = pair_window
-        self.pairs = []
-        for si, sc in enumerate(self.scenes):
-            v = len(sc["names"])
-            for i in range(v):
-                for d in range(1, pair_window + 1):
-                    if i + d < v:
-                        self.pairs.append((si, i, i + d))
-                        self.pairs.append((si, i + d, i))
 
-    def __len__(self):
-        return len(self.pairs)
+    def __repr__(self):
+        return f"{type(self).__name__}({len(self)} pairs)"
 
-    def _load_view(self, scene, idx, rng=None, resolution=None):
-        from instantsplat_tpu.data.images import load_image
+    # dataset arithmetic (easy_dataset.py:23-30)
+    def __add__(self, other):
+        return CatDataset([self, other])
 
-        name = scene["names"][idx]
-        img = load_image(scene["dir"] / "images" / f"{name}.png")
-        depth = np.load(scene["dir"] / "depth" / f"{name}.npy")
-        K = scene["K"][idx]
-        c2w = scene["c2w"][idx]
-        if resolution is None and self.resolutions is not None:
-            resolution = self.resolutions[0]
-        if resolution is not None:
-            img, depth, K = crop_resize_view(
-                img, depth, K, resolution, rng=rng,
-                aug_crop=self.aug_crop)
-        if self.transform == "color_jitter" and rng is not None:
-            img = color_jitter(img, rng)
-        h, w = depth.shape
-        gx, gy = np.meshgrid(np.arange(w), np.arange(h))
-        xy = np.stack([(gx - K[0, 2]) / K[0, 0],
-                       (gy - K[1, 2]) / K[1, 1]], -1)
-        pts_cam = np.concatenate(
-            [xy * depth[..., None], depth[..., None]], -1)
-        pts_world = pts_cam.reshape(-1, 3) @ c2w[:3, :3].T + c2w[:3, 3]
-        view = dict(
-            img=img.astype(np.float32),
-            pts3d=pts_world.reshape(h, w, 3).astype(np.float32),
-            camera_pose=c2w,
-            valid_mask=depth > 0,
-            true_shape=np.int32([h, w]),
-            K=np.asarray(K, np.float32),
-        )
-        if h > w:
-            # transpose_to_landscape (dust3r/datasets/base/
-            # base_stereo_view_dataset.py:115-117 via utils/misc.py):
-            # spatially transpose the arrays (values untouched) so every
-            # view in a batch stacks in landscape layout; true_shape
-            # records the real orientation for the ManyAR model path.
-            for k in ("img", "pts3d", "valid_mask"):
-                view[k] = np.swapaxes(view[k], 0, 1)
-        return view
+    def __rmul__(self, factor):
+        return MulDataset(factor, self)
+
+    def __rmatmul__(self, factor):
+        return ResizedDataset(factor, self)
+
+    def set_epoch(self, epoch: int):
+        pass
+
+    def _get_views(self, idx, rng, resolution):
+        raise NotImplementedError
+
+    def _finalize(self, img, depth, K, c2w, rng, resolution):
+        return finalize_view(img, depth, K, c2w, rng=rng,
+                             resolution=resolution, aug_crop=self.aug_crop,
+                             transform=self.transform)
 
     def batches(self, batch_size, seed=0, n_epochs=1, shard=None):
         """Yield jnp-ready batch dicts; `shard=(rank, world)` splits the
@@ -350,25 +358,25 @@ class PosedMultiViewDataset:
         import jax.numpy as jnp
 
         for epoch in range(n_epochs):
+            self.set_epoch(epoch)
             rng = np.random.default_rng(seed + epoch)
-            order = rng.permutation(len(self.pairs))
+            order = rng.permutation(len(self))
             if shard is not None:
                 rank, world = shard
                 order = order[rank::world]
             for s in range(0, len(order) - batch_size + 1, batch_size):
                 v1s, v2s = [], []
                 # one resolution per batch, shared by every view in it
-                # (BatchedRandomSampler pool constraint)
+                # (BatchedRandomSampler pool constraint,
+                # base/batched_sampler.py:11-18)
                 res = None
                 if self.resolutions is not None:
                     res = self.resolutions[
                         int(rng.integers(len(self.resolutions)))]
                 for k in order[s:s + batch_size]:
-                    si, i, j = self.pairs[k]
-                    v1s.append(self._load_view(self.scenes[si], i, rng,
-                                               resolution=res))
-                    v2s.append(self._load_view(self.scenes[si], j, rng,
-                                               resolution=res))
+                    v1, v2 = self._get_views(int(k), rng, res)
+                    v1s.append(v1)
+                    v2s.append(v2)
 
                 def stack(vs):
                     return dict(
@@ -423,6 +431,164 @@ class PosedMultiViewDataset:
         if t2:
             xy2 = xy2[:, ::-1]
         return xy1, xy2, cv
+
+
+class MulDataset(PairViewDataset):
+    """`n * dataset`: each element duplicated n times
+    (easy_dataset.py:42-62)."""
+
+    def __init__(self, multiplicator, dataset):
+        assert isinstance(multiplicator, int) and multiplicator > 0
+        self.multiplicator = multiplicator
+        self.dataset = dataset
+        for k in ("resolutions", "aug_crop", "n_corres", "nneg",
+                  "transform"):
+            setattr(self, k, getattr(dataset, k))
+
+    def __len__(self):
+        return self.multiplicator * len(self.dataset)
+
+    def __repr__(self):
+        return f"{self.multiplicator}*{self.dataset!r}"
+
+    def set_epoch(self, epoch):
+        self.dataset.set_epoch(epoch)
+
+    def _get_views(self, idx, rng, resolution):
+        return self.dataset._get_views(idx // self.multiplicator, rng,
+                                       resolution)
+
+
+class ResizedDataset(PairViewDataset):
+    """`n @ dataset`: fixed size n, randomly resampled (with duplicates
+    if n > len) each epoch (easy_dataset.py:65-97)."""
+
+    def __init__(self, size, dataset):
+        assert isinstance(size, int) and size > 0
+        self.size = size
+        self.dataset = dataset
+        for k in ("resolutions", "aug_crop", "n_corres", "nneg",
+                  "transform"):
+            setattr(self, k, getattr(dataset, k))
+        self.set_epoch(0)
+
+    def __len__(self):
+        return self.size
+
+    def __repr__(self):
+        k = len(str(self.size)) // 3
+        suffix = ["", "K", "M", "G"][k]
+        return f"{self.size // 1000 ** k}{suffix} @ {self.dataset!r}"
+
+    def set_epoch(self, epoch):
+        self.dataset.set_epoch(epoch)
+        rng = np.random.default_rng(777 + epoch)
+        n = len(self.dataset)
+        reps = (self.size + n - 1) // n
+        pool = np.concatenate(
+            [rng.permutation(n) for _ in range(reps)])
+        self._idxs = pool[: self.size]
+
+    def _get_views(self, idx, rng, resolution):
+        return self.dataset._get_views(int(self._idxs[idx]), rng,
+                                       resolution)
+
+
+class CatDataset(PairViewDataset):
+    """`a + b`: dataset concatenation (easy_dataset.py:100-132). The
+    children must share one transform configuration (resolution pool,
+    n_corres, ...) so batches stay static-shape."""
+
+    def __init__(self, datasets):
+        flat = []
+        for d in datasets:
+            flat.extend(d.datasets if isinstance(d, CatDataset) else [d])
+        self.datasets = flat
+        for k in ("resolutions", "aug_crop", "n_corres", "nneg",
+                  "transform"):
+            vals = [getattr(d, k) for d in flat]
+            assert all(v == vals[0] for v in vals), (
+                f"concatenated datasets disagree on {k}: {vals}")
+            setattr(self, k, vals[0])
+        self._cum = np.cumsum([len(d) for d in flat])
+
+    def __len__(self):
+        return int(self._cum[-1])
+
+    def __repr__(self):
+        return " + ".join(repr(d) for d in self.datasets)
+
+    def set_epoch(self, epoch):
+        for d in self.datasets:
+            d.set_epoch(epoch)
+
+    def _get_views(self, idx, rng, resolution):
+        di = int(np.searchsorted(self._cum, idx, side="right"))
+        base = 0 if di == 0 else int(self._cum[di - 1])
+        return self.datasets[di]._get_views(idx - base, rng, resolution)
+
+
+class PosedMultiViewDataset(PairViewDataset):
+    def __init__(self, root, scenes=None, pair_window=3, resolution=None,
+                 aug_crop=0, n_corres=0, nneg=0.0, transform=None):
+        """resolution: optional (W, H) target — or a LIST of (W, H)
+        choices, one drawn per batch with all views in the batch sharing
+        it (the BatchedRandomSampler aspect-ratio-pool constraint,
+        dust3r/datasets/base/batched_sampler.py:11-18). Every view passes
+        through `crop_resize_view` (the reference's shared loader
+        transform) before unprojection, so intrinsics, depth, and pts3d
+        stay consistent with the crop. aug_crop > 1 enables the random
+        rescale-target enlargement augmentation. n_corres > 0 adds
+        fixed-count GT correspondence fields (gt1['corres'],
+        gt1['valid_corres'], gt2['corres']) to every batch — the
+        matching-loss supervision (mast3r_base_stereo_view_dataset.py:
+        104-137), with `nneg` fraction of deliberate negatives.
+        transform='color_jitter' applies the reference's training color
+        augmentation (transforms.py:11) to images only."""
+        self._init_transform(resolution, aug_crop, n_corres, nneg,
+                             transform)
+        self.root = Path(root)
+        self.scenes = []
+        scene_dirs = ([self.root / s for s in scenes] if scenes
+                      else sorted(p for p in self.root.iterdir()
+                                  if p.is_dir()))
+        for sdir in scene_dirs:
+            meta = np.load(sdir / "poses.npz")
+            names = [str(n) for n in meta["names"]]
+            self.scenes.append(dict(
+                dir=sdir, names=names,
+                c2w=np.asarray(meta["c2w"], np.float32),
+                K=np.asarray(meta["K"], np.float32),
+            ))
+        self.pair_window = pair_window
+        self.pairs = []
+        for si, sc in enumerate(self.scenes):
+            v = len(sc["names"])
+            for i in range(v):
+                for d in range(1, pair_window + 1):
+                    if i + d < v:
+                        self.pairs.append((si, i, i + d))
+                        self.pairs.append((si, i + d, i))
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def _load_view(self, scene, idx, rng=None, resolution=None):
+        from instantsplat_tpu.data.images import load_image
+
+        name = scene["names"][idx]
+        img = load_image(scene["dir"] / "images" / f"{name}.png")
+        depth = np.load(scene["dir"] / "depth" / f"{name}.npy")
+        if resolution is None and self.resolutions is not None:
+            resolution = self.resolutions[0]
+        return self._finalize(img, depth, scene["K"][idx],
+                              scene["c2w"][idx], rng, resolution)
+
+    def _get_views(self, idx, rng, resolution):
+        si, i, j = self.pairs[idx]
+        scene = self.scenes[si]
+        return (self._load_view(scene, i, rng, resolution=resolution),
+                self._load_view(scene, j, rng, resolution=resolution))
 
 
 def write_synthetic_scene(root, name="scene0", n_views=6, h=32, w=48,
