@@ -65,6 +65,14 @@ def main(argv=None):
                              "checkpoint-last.npz when present")
     parser.add_argument("--save_freq", type=int, default=500,
                         help="steps between checkpoint-last saves")
+    parser.add_argument("--keep_freq", type=int, default=0,
+                        help="steps between immutable checkpoint-{step} "
+                             "snapshots (reference keep_freq; 0 = off)")
+    parser.add_argument("--test_dataset", default=None,
+                        help="held-out dataset spec for the periodic "
+                             "no-grad eval pass")
+    parser.add_argument("--eval_freq", type=int, default=0,
+                        help="steps between test passes (0 = end only)")
     parser.add_argument("--print_freq", type=int, default=20)
     parser.add_argument("--epochs", type=int, default=1,
                         help="passes over the dataset spec")
@@ -139,19 +147,36 @@ def main(argv=None):
                 return
             yield stack_microbatches(group)
 
+    eval_batches = None
+    if args.test_dataset:
+        test_ds = make_dataset(args.test_dataset)
+
+        def eval_batches():
+            return test_ds.batches(args.batch_size, seed=args.seed + 1)
+
     loss_fn = getattr(L, CRITERIA[args.criterion])
     params, history = train_loop(
         params, cfg, batches(), mesh=mesh, n_steps=args.steps,
         log_every=args.print_freq, output_dir=args.output_dir,
-        save_every=args.save_freq, base_lr=args.lr, min_lr=args.min_lr,
+        save_every=args.save_freq,
+        keep_every=args.keep_freq or None,
+        eval_batches=eval_batches,
+        eval_every=args.eval_freq or None,
+        base_lr=args.lr, min_lr=args.min_lr,
         warmup_steps=args.warmup_steps, total_steps=args.steps,
         weight_decay=args.weight_decay, loss_fn=loss_fn, alpha=args.alpha,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         accum_iter=args.accum_iter,
     )
     if history:
-        step, metrics = history[-1]
-        print(f"[pretrain] done: step {step} loss {metrics['loss']:.4f}")
+        trains = [(s, m) for s, m in history if "loss" in m]
+        evals = [(s, m) for s, m in history if "test_loss" in m]
+        msg = "[pretrain] done:"
+        if trains:
+            msg += f" step {trains[-1][0]} loss {trains[-1][1]['loss']:.4f}"
+        if evals:
+            msg += f" test_loss {evals[-1][1]['test_loss']:.4f}"
+        print(msg)
     return params
 
 

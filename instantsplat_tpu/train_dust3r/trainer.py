@@ -94,21 +94,7 @@ def make_dp_train_step(
             step=jnp.zeros((), jnp.int32),
         )
 
-    def objective(params, batch):
-        if compute_dtype is not None:
-            params = jax.tree.map(
-                lambda p: p.astype(compute_dtype)
-                if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
-            batch = dict(batch,
-                         img1=batch["img1"].astype(compute_dtype),
-                         img2=batch["img2"].astype(compute_dtype))
-        r1, r2 = mast3r.forward_pair(
-            params, cfg, batch["img1"], batch["img2"])
-        r2 = dict(r2)
-        r2["pts3d_in_other_view"] = r2.pop("pts3d")
-        loss, details = loss_fn(
-            batch["gt1"], batch["gt2"], r1, r2, alpha=alpha)
-        return loss.astype(jnp.float32), details
+    objective = _make_objective(cfg, loss_fn, alpha, compute_dtype)
 
     def grad_fn(params, batch):
         if accum_iter == 1:
@@ -182,6 +168,37 @@ def make_dp_train_step(
     return init_state, train_step, shard_batch
 
 
+def _make_objective(cfg, loss_fn, alpha, compute_dtype):
+    def objective(params, batch):
+        if compute_dtype is not None:
+            params = jax.tree.map(
+                lambda p: p.astype(compute_dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
+            batch = dict(batch,
+                         img1=batch["img1"].astype(compute_dtype),
+                         img2=batch["img2"].astype(compute_dtype))
+        r1, r2 = mast3r.forward_pair(
+            params, cfg, batch["img1"], batch["img2"])
+        r2 = dict(r2)
+        r2["pts3d_in_other_view"] = r2.pop("pts3d")
+        loss, details = loss_fn(
+            batch["gt1"], batch["gt2"], r1, r2, alpha=alpha)
+        return loss.astype(jnp.float32), details
+
+    return objective
+
+
+def make_eval_step(cfg, loss_fn=None, alpha=0.2, compute_dtype=None,
+                   **_ignored):
+    """Jitted no-grad loss evaluation (the reference's test-set pass,
+    dust3r/training.py:212-230 test_one_epoch). Extra kwargs (the training
+    hyperparameters train_loop forwards) are accepted and ignored so one
+    **kw config serves both steps."""
+    objective = _make_objective(cfg, loss_fn or regr3d_conf_loss, alpha,
+                                compute_dtype)
+    return jax.jit(objective)
+
+
 def stack_microbatches(batches):
     """Stack accum_iter loader batches -> one [A, B, ...] scan batch
     (the jitted-accumulation input of make_dp_train_step)."""
@@ -216,16 +233,25 @@ def load_pretrain_checkpoint(path, template_state):
 
 
 def train_loop(params, cfg, batches: Iterator, mesh=None, n_steps=None,
-               log_every=10, output_dir=None, save_every=None, **kw):
+               log_every=10, output_dir=None, save_every=None,
+               keep_every=None, eval_batches=None, eval_every=None, **kw):
     """Simple driver: returns (params, history).
 
     With `output_dir`, auto-resumes from `<output_dir>/checkpoint-last.npz`
     if present (reference dust3r/training.py:101-103: args.resume =
     checkpoint-last if it exists) and saves there every `save_every`
-    optimizer steps and at the end. On resume the first `step` batches of
+    optimizer steps and at the end; `keep_every` additionally snapshots
+    immutable `checkpoint-{step}.npz` files (the reference's keep_freq,
+    training.py:181-184). On resume the first `step` batches of
     the iterator are skipped, so a deterministic batch source reproduces
     the uninterrupted trajectory (reference resumes at epoch granularity;
     step granularity is strictly finer).
+
+    `eval_batches` (a zero-arg callable returning a fresh batch iterator)
+    with `eval_every` runs the no-grad test pass every that many steps and
+    at the end (the reference's test_dataset/eval_freq loop,
+    training.py:154-172); mean test metrics are appended to history as
+    ``(step, {'test_loss': ...})`` entries.
 
     A non-finite loss aborts with FloatingPointError, checked at every
     log/save boundary (reference checks every step and sys.exit(1)s,
@@ -234,6 +260,26 @@ def train_loop(params, cfg, batches: Iterator, mesh=None, n_steps=None,
     """
     init_state, train_step, shard_batch = make_dp_train_step(
         cfg, mesh=mesh, **kw)
+    eval_step = None
+    if eval_batches is not None:
+        eval_step = make_eval_step(cfg, **kw)
+
+    def run_eval(step):
+        # eval consumes PLAIN [B, ...] batches (no accumulation stacking)
+        totals, n = {}, 0
+        for eb in eval_batches():
+            loss, details = eval_step(state["params"], eb)
+            totals["test_loss"] = totals.get("test_loss", 0.0) + float(loss)
+            for k, v in details.items():
+                try:
+                    totals[f"test_{k}"] = totals.get(f"test_{k}", 0.0) \
+                        + float(v)
+                except TypeError:
+                    pass
+            n += 1
+        if n:
+            history.append((step, {k: v / n for k, v in totals.items()}))
+
     state = init_state(params)
     skip = 0
     ckpt_path = None
@@ -253,6 +299,7 @@ def train_loop(params, cfg, batches: Iterator, mesh=None, n_steps=None,
         return loss
 
     metrics = None
+    last_eval = -1
     for i, batch in enumerate(batches):
         if n_steps is not None and i >= n_steps:
             break
@@ -265,9 +312,20 @@ def train_loop(params, cfg, batches: Iterator, mesh=None, n_steps=None,
         if ckpt_path and save_every and (i + 1) % save_every == 0:
             check_finite(metrics)
             save_pretrain_checkpoint(ckpt_path, state)
+        if output_dir and keep_every and (i + 1) % keep_every == 0:
+            check_finite(metrics)
+            save_pretrain_checkpoint(
+                os.path.join(output_dir, f"checkpoint-{i + 1}.npz"), state)
+        if eval_step is not None and eval_every and \
+                (i + 1) % eval_every == 0:
+            run_eval(i + 1)
+            last_eval = i + 1
     if ckpt_path is not None and metrics is not None:
         check_finite(metrics)
         save_pretrain_checkpoint(ckpt_path, state)
+    if eval_step is not None and metrics is not None and \
+            int(state["step"]) != last_eval:
+        run_eval(int(state["step"]))
     return state["params"], history
 
 

@@ -189,6 +189,39 @@ def test_pretrain_cli_smoke(tmp_path):
     main(argv)  # auto-resume path: step index restored, no crash
 
 
+def test_train_loop_eval_and_keep_checkpoints(tmp_path):
+    """The periodic test pass (training.py:154-172) and keep_freq
+    snapshots (training.py:181-184): history gains test_loss entries and
+    checkpoint-{step}.npz files appear alongside checkpoint-last."""
+    from instantsplat_tpu.models import mast3r
+    from instantsplat_tpu.train_dust3r.trainer import (
+        synthetic_batch,
+        train_loop,
+    )
+
+    cfg = mast3r.MASt3RConfig(
+        enc_embed_dim=32, enc_depth=1, enc_num_heads=2, dec_embed_dim=32,
+        dec_depth=1, dec_num_heads=2, dpt_layer_dims=(8, 8, 8, 8),
+        dpt_feature_dim=8, dpt_last_dim=4, patch_size=16)
+    params = mast3r.init_params(cfg, seed=0)
+    train = [synthetic_batch(cfg, batch=2, h=16, w=16, seed=s)
+             for s in range(4)]
+    test = [synthetic_batch(cfg, batch=2, h=16, w=16, seed=100)]
+
+    out = tmp_path / "out"
+    _, history = train_loop(
+        params, cfg, iter(train), n_steps=4, log_every=1,
+        output_dir=str(out), save_every=10, keep_every=2,
+        eval_batches=lambda: iter(test), eval_every=2,
+        warmup_steps=1, total_steps=4)
+    assert (out / "checkpoint-2.npz").exists()
+    assert (out / "checkpoint-4.npz").exists()
+    assert (out / "checkpoint-last.npz").exists()
+    evals = [(s, m) for s, m in history if "test_loss" in m]
+    assert [s for s, _ in evals] == [2, 4]  # every 2 steps; no dup at end
+    assert all(np.isfinite(m["test_loss"]) for _, m in evals)
+
+
 def test_loader_feeds_training_step(tmp_path):
     """A loader batch drives one DP pre-training step end-to-end."""
     import jax
