@@ -168,6 +168,84 @@ def sharded_render(
     return rgb[:H], alpha[:H], depth[:H]
 
 
+def gaussian_sharded_render(
+    gaussians: GaussianModel,
+    camera: Camera,
+    mesh: Mesh,
+    pose: Optional[jax.Array] = None,
+    bg: Optional[jax.Array] = None,
+    active_sh_degree: Optional[int] = None,
+    scale_modifier: float = 1.0,
+):
+    """Render one view with the GAUSSIANS depth-sliced over the mesh.
+
+    The complementary scaling axis to `sharded_render`: pixel sharding
+    replicates all N Gaussians on every chip (per-chip HBM caps N);
+    here each chip composites a CONTIGUOUS DEPTH SLICE of the globally
+    sorted splat list over the full image, and the per-chip partials
+    merge with the associative over operator —
+    (C_a, T_a) o (C_b, T_b) = (C_a + T_a*C_b, T_a*T_b) for depth-ordered
+    segments a before b — as one all_gather of the [H, W] transmittance
+    maps + a prefix-product-weighted psum of the premultiplied colors.
+    Per-chip memory and compositing FLOPs scale 1/ndev in N.
+
+    Semantics note: the single-device early-termination latch (fires when
+    T would cross 1e-4 and drops the firing splat too — the CUDA
+    `continue` semantics) cannot see across slices, so this path
+    composites the splats the latch truncates, weighted by the true
+    incident transmittance. The image difference is bounded by the
+    incident T at the latch (≤ ~1e-2 when one ALPHA_MAX splat fires it,
+    typically ≪ 1e-3) — the sliced result is the more-converged one.
+    Differentiable w.r.t. gaussians and pose.
+
+    Returns (rgb [H,W,3], alpha [H,W], depth [H,W]) replicated.
+    """
+    from instantsplat_tpu.ops import rasterize_pallas
+
+    if pose is None:
+        pose = camera.pose
+    if bg is None:
+        bg = jnp.zeros(3, jnp.float32)
+    if active_sh_degree is None:
+        active_sh_degree = gaussians.max_sh_degree
+    H, W = camera.height, camera.width
+    ndev = mesh.shape[AXIS]
+
+    # global depth sort on replicated inputs; slices stay depth-contiguous
+    packed, _ = prepare_packed_splats(
+        gaussians, pose, camera.fx, camera.fy, camera.cx, camera.cy,
+        jnp.float32(scale_modifier), active_sh_degree, H, W,
+    )
+    n = packed.shape[0]
+    n_pad = ((n + ndev - 1) // ndev) * ndev
+    if n_pad > n:  # pad at the back of the depth order with invalid rows
+        packed = jnp.pad(packed, ((0, n_pad - n), (0, 0)))
+        packed = packed.at[n:, 5].set(-jnp.inf)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def _slices(pk, bg_):
+        out = rasterize_pallas.composite_tiles_packed(
+            pk, height=H, width=W, bg=None)
+        tfin = 1.0 - out.alpha  # [H, W] this slice's transmittance
+        i = jax.lax.axis_index(AXIS)
+        t_all = jax.lax.all_gather(tfin, AXIS)  # [ndev, H, W]
+        before = (jnp.arange(ndev) < i)[:, None, None]
+        prefix = jnp.prod(jnp.where(before, t_all, 1.0), axis=0)
+        total = jnp.prod(t_all, axis=0)
+        rgb = jax.lax.psum(prefix[..., None] * out.rgb, AXIS)
+        depth = jax.lax.psum(prefix * out.depth, AXIS)
+        rgb = rgb + total[..., None] * bg_[None, None, :]
+        return rgb, 1.0 - total, depth
+
+    return _slices(packed, bg)
+
+
 def make_sharded_train_step(
     optimizer: GaussianOptimizer,
     cameras: Camera,  # batched [V, ...] pytree
@@ -176,13 +254,18 @@ def make_sharded_train_step(
     mesh: Mesh,
     chunk: int = 256,
     backend: str = "oracle",
+    shard_axis: str = "pixels",
 ):
-    """Pixel-sharded version of pipelines.trainer.make_train_step.
+    """Sharded version of pipelines.trainer.make_train_step.
 
-    One jitted program: render (rows sharded over chips) -> photometric loss
+    One jitted program: render (sharded over chips) -> photometric loss
     -> backward (Gaussian/pose grads psum'd over ICI) -> grouped Adam update
     (replicated). `backend` selects each chip's local compositor, exactly as
-    in the single-chip driver ('pallas' = the production packed kernel)."""
+    in the single-chip driver ('pallas' = the production packed kernel).
+    `shard_axis`: 'pixels' (rows per chip, Gaussians replicated) or
+    'gaussians' (depth slices per chip, full image each — the large-N
+    regime; pallas-backed, see gaussian_sharded_render)."""
+    assert shard_axis in ("pixels", "gaussians"), shard_axis
 
     @functools.partial(jax.jit, static_argnames=("active_sh",))
     def train_step(params, opt_state, view_idx, iteration, active_sh: int):
@@ -190,10 +273,17 @@ def make_sharded_train_step(
 
         def loss_fn(p):
             pose = p.get_pose(view_idx)
-            rgb, _, _ = sharded_render(
-                p, cam, mesh, pose=pose, bg=bg,
-                active_sh_degree=active_sh, chunk=chunk, backend=backend,
-            )
+            if shard_axis == "gaussians":
+                rgb, _, _ = gaussian_sharded_render(
+                    p, cam, mesh, pose=pose, bg=bg,
+                    active_sh_degree=active_sh,
+                )
+            else:
+                rgb, _, _ = sharded_render(
+                    p, cam, mesh, pose=pose, bg=bg,
+                    active_sh_degree=active_sh, chunk=chunk,
+                    backend=backend,
+                )
             loss, aux = photometric_loss(rgb, cam.image, lambda_dssim)
             aux["psnr"] = psnr(rgb, cam.image)
             return loss, aux
