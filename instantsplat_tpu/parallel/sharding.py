@@ -246,6 +246,86 @@ def gaussian_sharded_render(
     return _slices(packed, bg)
 
 
+def hybrid_sharded_render(
+    gaussians: GaussianModel,
+    camera: Camera,
+    mesh: Mesh,
+    pose: Optional[jax.Array] = None,
+    bg: Optional[jax.Array] = None,
+    active_sh_degree: Optional[int] = None,
+    scale_modifier: float = 1.0,
+    pix_axis: str = "pix",
+    gauss_axis: str = "gauss",
+):
+    """Render with BOTH sharding axes on a 2-D mesh: pixel row-blocks over
+    `pix_axis`, depth slices of the sorted splats over `gauss_axis`. Each
+    chip composites (its slice) x (its rows); the over-operator merge runs
+    along `gauss_axis` (all_gather of [rows_per, W] transmittances +
+    prefix-weighted psum — put this axis LAST in make_mesh_nd so the
+    heavier collective rides ICI-adjacent chips), then the merged row
+    blocks all_gather along `pix_axis`. Per-chip compositing work scales
+    1/(n_pix * n_gauss); same latch-tolerance semantics as
+    `gaussian_sharded_render`.
+
+    Returns (rgb [H,W,3], alpha [H,W], depth [H,W]) replicated.
+    """
+    from instantsplat_tpu.ops import rasterize_pallas
+
+    if pose is None:
+        pose = camera.pose
+    if bg is None:
+        bg = jnp.zeros(3, jnp.float32)
+    if active_sh_degree is None:
+        active_sh_degree = gaussians.max_sh_degree
+    H, W = camera.height, camera.width
+    n_pix = mesh.shape[pix_axis]
+    n_gauss = mesh.shape[gauss_axis]
+    rows_per = _padded_rows(H, n_pix)
+
+    packed, _ = prepare_packed_splats(
+        gaussians, pose, camera.fx, camera.fy, camera.cx, camera.cy,
+        jnp.float32(scale_modifier), active_sh_degree, H, W,
+    )
+    n = packed.shape[0]
+    n_pad = ((n + n_gauss - 1) // n_gauss) * n_gauss
+    if n_pad > n:
+        packed = jnp.pad(packed, ((0, n_pad - n), (0, 0)))
+        packed = packed.at[n:, 5].set(-jnp.inf)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(gauss_axis), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def _tiles(pk, bg_):
+        i = jax.lax.axis_index(pix_axis)
+        y0 = (i * rows_per).astype(jnp.float32)
+        shift = jnp.zeros((pk.shape[1],), jnp.float32).at[1].set(1.0) * y0
+        out = rasterize_pallas.composite_tiles_packed(
+            pk - shift[None, :], height=rows_per, width=W, bg=None)
+        tfin = 1.0 - out.alpha
+        # depth-slice merge along the gauss axis (over operator)
+        k = jax.lax.axis_index(gauss_axis)
+        t_all = jax.lax.all_gather(tfin, gauss_axis)  # [n_gauss, r, W]
+        before = (jnp.arange(n_gauss) < k)[:, None, None]
+        prefix = jnp.prod(jnp.where(before, t_all, 1.0), axis=0)
+        total = jnp.prod(t_all, axis=0)
+        rgb = jax.lax.psum(prefix[..., None] * out.rgb, gauss_axis)
+        depth = jax.lax.psum(prefix * out.depth, gauss_axis)
+        rgb = rgb + total[..., None] * bg_[None, None, :]
+        # row-block gather along the pix axis
+        rgb = jax.lax.all_gather(rgb, pix_axis, axis=0, tiled=True)
+        alpha = jax.lax.all_gather(1.0 - total, pix_axis, axis=0,
+                                   tiled=True)
+        depth = jax.lax.all_gather(depth, pix_axis, axis=0, tiled=True)
+        return rgb, alpha, depth
+
+    rgb, alpha, depth = _tiles(packed, bg)
+    return rgb[:H], alpha[:H], depth[:H]
+
+
 def make_sharded_train_step(
     optimizer: GaussianOptimizer,
     cameras: Camera,  # batched [V, ...] pytree

@@ -330,3 +330,48 @@ def test_gaussian_sharded_train_step_matches_single_device():
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_hybrid_sharded_render_matches_single_device():
+    """2-D mesh (pixel rows x depth slices): the composed merge must
+    reproduce the single-device image within the latch tolerance, on both
+    a transparent and an opaque scene."""
+    from instantsplat_tpu.parallel import hybrid_sharded_render
+    from instantsplat_tpu.parallel.runtime import make_mesh_nd
+
+    g, cams = make_scene(n=100, seed=19)
+    mesh = make_mesh_nd((4, 2), ("pix", "gauss"))
+    ref = render(g, cams[0], chunk=64, backend="pallas")
+    rgb, alpha, depth = hybrid_sharded_render(g, cams[0], mesh)
+    assert rgb.shape == ref.render.shape
+    np.testing.assert_allclose(rgb, ref.render, atol=3e-4)
+    np.testing.assert_allclose(alpha, ref.alpha, atol=3e-4)
+
+    opaque = g.replace(opacity=jnp.full_like(g.opacity, 4.0))
+    ref_o = render(opaque, cams[0], chunk=64, backend="pallas")
+    rgb_o, _, _ = hybrid_sharded_render(opaque, cams[0], mesh)
+    np.testing.assert_allclose(rgb_o, ref_o.render, atol=5e-3)
+
+
+def test_hybrid_sharded_gradients_match_single_device():
+    from instantsplat_tpu.parallel import hybrid_sharded_render
+    from instantsplat_tpu.parallel.runtime import make_mesh_nd
+
+    g, cams = make_scene(n=80, seed=23)
+    mesh = make_mesh_nd((2, 4), ("pix", "gauss"))
+    target = jax.random.uniform(jax.random.PRNGKey(5), (40, 40, 3))
+
+    def loss_single(p):
+        out = render(p, cams[0], pose=p.get_pose(0), chunk=64,
+                     backend="pallas")
+        return photometric_loss(out.render, target)[0]
+
+    def loss_hybrid(p):
+        rgb, _, _ = hybrid_sharded_render(p, cams[0], mesh,
+                                          pose=p.get_pose(0))
+        return photometric_loss(rgb, target)[0]
+
+    g1 = jax.grad(loss_single)(g)
+    g2 = jax.grad(loss_hybrid)(g)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(a, b, atol=2e-4)
