@@ -411,7 +411,9 @@ class GlobalAligner:
         sharded over the mesh axis (edge data parallelism — the E directed
         edges dominate memory and compute at E x H x W x 3) while the
         parameters stay replicated; XLA inserts the gradient psum over ICI
-        from the shardings (SURVEY.md §2.2 mapping).
+        from the shardings (SURVEY.md §2.2 mapping). When E does not
+        divide the mesh, the AREA (H*W pixel) axis of the same tensors is
+        sharded instead — identical memory scaling, no edge padding.
         """
         import jax
         import jax.numpy as jnp
@@ -427,12 +429,18 @@ class GlobalAligner:
                 edge_sh = NamedSharding(mesh, P(axis))
                 for k in ("pred_i", "pred_j", "w_i", "w_j", "ei", "ej"):
                     buffers[k] = jax.device_put(buffers[k], edge_sh)
-            else:  # uneven edge count: stay replicated (correct, unsharded)
+            elif self.area % n_dev == 0:
+                area_sh = NamedSharding(mesh, P(None, axis))
+                for k in ("pred_i", "pred_j", "w_i", "w_j"):
+                    buffers[k] = jax.device_put(buffers[k], area_sh)
+                # the per-image unprojection inputs split the same way
+                buffers["grid"] = jax.device_put(
+                    buffers["grid"], NamedSharding(mesh, P(axis)))
+            else:  # neither axis divides: stay replicated (correct)
                 logging.getLogger(__name__).warning(
-                    "aligner: %d edges do not divide the %d-device mesh; "
-                    "running replicated (correct but unsharded). Pad the "
-                    "pair graph or use a divisor-sized mesh to shard.",
-                    len(self.edges), n_dev)
+                    "aligner: neither %d edges nor %d pixels divide the "
+                    "%d-device mesh; running replicated (correct but "
+                    "unsharded).", len(self.edges), self.area, n_dev)
                 mesh = None
         params = {k: jnp.asarray(v) for k, v in self.params.items()}
         trainable = dict(pw_poses=True,

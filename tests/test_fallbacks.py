@@ -96,10 +96,13 @@ def test_aligner_uneven_edges_logs_replicated_fallback(caplog):
     from instantsplat_tpu.init import GlobalAligner
     from instantsplat_tpu.parallel import make_mesh
 
-    _, _, preds = _synthetic_scene(n_views=3)  # 6 edges
+    # 6 edges % 4 != 0 AND area 23*31=713 % 4 != 0: neither sharding axis
+    # divides -> replicated fallback (a divisible area would shard by area
+    # instead; see test_parallel.test_aligner_area_sharded_matches_single)
+    _, _, preds = _synthetic_scene(n_views=3, h=23, w=31)
     al = GlobalAligner(preds)
     al.init_mst(focal_avg=True)
-    mesh = make_mesh(4)  # 6 % 4 != 0 -> replicated fallback
+    mesh = make_mesh(4)
     with caplog.at_level(logging.WARNING,
                          logger="instantsplat_tpu.init.aligner"):
         al.align(niter=2, mesh=mesh)

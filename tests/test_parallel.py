@@ -375,3 +375,27 @@ def test_hybrid_sharded_gradients_match_single_device():
     g2 = jax.grad(loss_hybrid)(g)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_aligner_area_sharded_matches_single():
+    """When the edge count doesn't divide the mesh, the aligner shards the
+    AREA (pixel) axis of the stacked edge tensors instead of falling back
+    to replicated — results must match the unsharded run exactly."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_aligner import _synthetic_scene
+
+    from instantsplat_tpu.init import GlobalAligner
+
+    c2w_gt, _, preds = _synthetic_scene(n_views=3)  # 6 edges, area 768
+    a1 = GlobalAligner(preds)
+    a1.init_mst(focal_avg=True)
+    l1 = a1.align(niter=40)
+    a2 = GlobalAligner(preds)
+    a2.init_mst(focal_avg=True)
+    mesh = make_mesh(4)  # 6 % 4 != 0, 768 % 4 == 0 -> area sharding
+    l2 = a2.align(niter=40, mesh=mesh)
+    assert abs(l1 - l2) < 1e-5, (l1, l2)
+    np.testing.assert_allclose(a1.get_im_poses(), a2.get_im_poses(),
+                               atol=1e-4)
