@@ -399,3 +399,38 @@ def test_aligner_area_sharded_matches_single():
     assert abs(l1 - l2) < 1e-5, (l1, l2)
     np.testing.assert_allclose(a1.get_im_poses(), a2.get_im_poses(),
                                atol=1e-4)
+
+
+def test_tensor_parallel_mast3r_matches_single_device():
+    """Megatron-style TP placement of the pointmap transformer: jit with
+    'model'-axis-sharded params must reproduce the replicated forward
+    exactly (XLA inserts the all-reduces; parallel/tp.py)."""
+    from instantsplat_tpu.models import mast3r
+    from instantsplat_tpu.parallel import make_mesh_nd
+    from instantsplat_tpu.parallel.tp import shard_params_tp
+
+    cfg = mast3r.MASt3RConfig(
+        enc_embed_dim=64, enc_depth=2, enc_num_heads=2, dec_embed_dim=48,
+        dec_depth=2, dec_num_heads=2, dpt_layer_dims=(8, 16, 24, 32),
+        dpt_feature_dim=16, dpt_last_dim=8)
+    params = mast3r.init_params(cfg, seed=0)
+    rng = np.random.default_rng(3)
+    img1 = rng.random((2, 32, 48, 3)).astype(np.float32)
+    img2 = rng.random((2, 32, 48, 3)).astype(np.float32)
+
+    fwd = jax.jit(lambda p: mast3r.forward_pair(p, cfg, img1, img2))
+    r1_ref, r2_ref = fwd(params)
+
+    mesh = make_mesh_nd((2, 4), ("data", "model"))
+    tp_params = shard_params_tp(params, mesh)
+    # sharding took effect on at least the big matrices
+    qkv = tp_params["enc_blocks"][0]["attn"]["qkv"]["w"]
+    assert "model" in str(qkv.sharding.spec)
+    r1_tp, r2_tp = fwd(tp_params)
+    # different matmul partitionings reassociate f32 sums: compare at
+    # ~1e-5 of each tensor's own scale
+    for ref, tp in ((r1_ref, r1_tp), (r2_ref, r2_tp)):
+        for k in ("pts3d", "conf", "desc"):
+            a, b = np.asarray(tp[k]), np.asarray(ref[k])
+            tol = 2e-5 * max(np.abs(b).max(), 1.0)
+            np.testing.assert_allclose(a, b, atol=tol, err_msg=k)
