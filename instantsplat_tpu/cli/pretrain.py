@@ -60,6 +60,10 @@ def main(argv=None):
     parser.add_argument("--weight_decay", type=float, default=0.05)
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 mixed precision (the reference's --amp)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="shard params + Adam moments over the data "
+                             "axis (ZeRO-3-style; cuts optimizer HBM by "
+                             "n_devices)")
     parser.add_argument("--output_dir", default=None,
                         help="checkpoint dir; auto-resumes from "
                              "checkpoint-last.npz when present")
@@ -167,6 +171,7 @@ def main(argv=None):
         weight_decay=args.weight_decay, loss_fn=loss_fn, alpha=args.alpha,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         accum_iter=args.accum_iter,
+        fsdp=args.fsdp and mesh is not None,
     )
     if history:
         trains = [(s, m) for s, m in history if "loss" in m]

@@ -58,12 +58,21 @@ def make_dp_train_step(
     alpha=0.2,
     compute_dtype=None,
     accum_iter: int = 1,
+    fsdp: bool = False,
 ):
     """-> (init_state, train_step).
 
     train_step(state, batch) -> (state, metrics); batch = dict with
     img1/img2 [B,H,W,3], gt1/gt2 view dicts (see losses.regr3d_conf_loss).
     With a mesh, the batch's leading axis is sharded and params replicated.
+
+    FSDP (`fsdp=True`, needs a mesh): params, gradients, and the Adam
+    moments are SHARDED over the data axis (each leaf split on its
+    largest divisible dim — the GSPMD fully-sharded-data-parallel
+    placement; XLA all-gathers weights per layer in the forward/backward
+    and reduce-scatters gradients). Cuts per-chip optimizer-state HBM by
+    ndev — the torch analogue is ZeRO-3, which the reference's plain DDP
+    (dust3r/training.py:152-155) does not have.
 
     Mixed precision (`compute_dtype=jnp.bfloat16`): the TPU-native
     equivalent of the reference's AMP autocast + NativeScaler
@@ -86,13 +95,35 @@ def make_dp_train_step(
     loss_fn = loss_fn or regr3d_conf_loss
     eps = 1e-8
 
+    def _fsdp_place(tree):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = list(mesh.axis_names)[0]
+        n = mesh.shape[axis]
+
+        def place(leaf):
+            spec = [None] * leaf.ndim
+            dims = sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d])
+            for d in dims:  # largest divisible dim gets the shard
+                if leaf.shape[d] % n == 0 and leaf.shape[d] >= n:
+                    spec[d] = axis
+                    break
+            return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
+
+        return jax.tree.map(place, tree)
+
     def init_state(params):
-        return dict(
+        state = dict(
             params=params,
             m=jax.tree.map(jnp.zeros_like, params),
             v=jax.tree.map(jnp.zeros_like, params),
             step=jnp.zeros((), jnp.int32),
         )
+        if fsdp:
+            assert mesh is not None, "fsdp=True needs a mesh"
+            state = dict(state, **{
+                k: _fsdp_place(state[k]) for k in ("params", "m", "v")})
+        return state
 
     objective = _make_objective(cfg, loss_fn, alpha, compute_dtype)
 
