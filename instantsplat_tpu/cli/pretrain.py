@@ -110,20 +110,16 @@ def main(argv=None):
     else:
         params = mast3r.init_params(cfg, seed=args.seed)
         # .npz resume is handled by train_loop's auto-resume; an explicit
-        # --pretrained .npz seeds params only
+        # --pretrained .npz seeds params only (the checkpoint loader looks
+        # leaves up by key path, so a params-only template skips the m/v
+        # moment entries without materializing them)
         if args.pretrained:
-            import numpy as np
-
             from instantsplat_tpu.train_dust3r.trainer import (
                 load_pretrain_checkpoint,
             )
 
-            state = dict(params=params,
-                         m=jax.tree.map(jnp.zeros_like, params),
-                         v=jax.tree.map(jnp.zeros_like, params),
-                         step=np.zeros((), np.int32))
-            params = load_pretrain_checkpoint(args.pretrained,
-                                              state)["params"]
+            params = load_pretrain_checkpoint(
+                args.pretrained, dict(params=params))["params"]
 
     dataset = make_dataset(args.train_dataset)
     print(f"[pretrain] dataset: {dataset!r} ({len(dataset)} pairs)")
@@ -138,6 +134,9 @@ def main(argv=None):
         print(f"[pretrain] batch_size {args.batch_size} uses {n_dev} of "
               f"{len(jax.devices())} devices (DP shards the batch axis; "
               "pick batch_size % n_devices == 0 to use all)")
+    if args.fsdp and mesh is None:
+        print("[pretrain] --fsdp ignored: no device mesh "
+              "(single device or batch_size 1)")
 
     def batches():
         it = dataset.batches(args.batch_size, seed=args.seed,

@@ -168,6 +168,24 @@ def sharded_render(
     return rgb[:H], alpha[:H], depth[:H]
 
 
+def _merge_depth_slices(out, bg_, axis: str, ndev: int):
+    """Cross-slice over-operator merge (inside shard_map): each chip holds
+    the premultiplied composite of its contiguous depth slice; gather the
+    [H, W] slice transmittances, weight each chip's colors/depth by the
+    product of all EARLIER slices' transmittance, and psum.
+    (C_a, T_a) o (C_b, T_b) = (C_a + T_a*C_b, T_a*T_b)."""
+    tfin = 1.0 - out.alpha
+    i = jax.lax.axis_index(axis)
+    t_all = jax.lax.all_gather(tfin, axis)  # [ndev, H, W]
+    before = (jnp.arange(ndev) < i)[:, None, None]
+    prefix = jnp.prod(jnp.where(before, t_all, 1.0), axis=0)
+    total = jnp.prod(t_all, axis=0)
+    rgb = jax.lax.psum(prefix[..., None] * out.rgb, axis)
+    depth = jax.lax.psum(prefix * out.depth, axis)
+    rgb = rgb + total[..., None] * bg_[None, None, :]
+    return rgb, 1.0 - total, depth
+
+
 def gaussian_sharded_render(
     gaussians: GaussianModel,
     camera: Camera,
@@ -232,16 +250,7 @@ def gaussian_sharded_render(
     def _slices(pk, bg_):
         out = rasterize_pallas.composite_tiles_packed(
             pk, height=H, width=W, bg=None)
-        tfin = 1.0 - out.alpha  # [H, W] this slice's transmittance
-        i = jax.lax.axis_index(AXIS)
-        t_all = jax.lax.all_gather(tfin, AXIS)  # [ndev, H, W]
-        before = (jnp.arange(ndev) < i)[:, None, None]
-        prefix = jnp.prod(jnp.where(before, t_all, 1.0), axis=0)
-        total = jnp.prod(t_all, axis=0)
-        rgb = jax.lax.psum(prefix[..., None] * out.rgb, AXIS)
-        depth = jax.lax.psum(prefix * out.depth, AXIS)
-        rgb = rgb + total[..., None] * bg_[None, None, :]
-        return rgb, 1.0 - total, depth
+        return _merge_depth_slices(out, bg_, AXIS, ndev)
 
     return _slices(packed, bg)
 
@@ -305,20 +314,12 @@ def hybrid_sharded_render(
         shift = jnp.zeros((pk.shape[1],), jnp.float32).at[1].set(1.0) * y0
         out = rasterize_pallas.composite_tiles_packed(
             pk - shift[None, :], height=rows_per, width=W, bg=None)
-        tfin = 1.0 - out.alpha
-        # depth-slice merge along the gauss axis (over operator)
-        k = jax.lax.axis_index(gauss_axis)
-        t_all = jax.lax.all_gather(tfin, gauss_axis)  # [n_gauss, r, W]
-        before = (jnp.arange(n_gauss) < k)[:, None, None]
-        prefix = jnp.prod(jnp.where(before, t_all, 1.0), axis=0)
-        total = jnp.prod(t_all, axis=0)
-        rgb = jax.lax.psum(prefix[..., None] * out.rgb, gauss_axis)
-        depth = jax.lax.psum(prefix * out.depth, gauss_axis)
-        rgb = rgb + total[..., None] * bg_[None, None, :]
-        # row-block gather along the pix axis
+        # depth-slice merge along the gauss axis, then row-block gather
+        # along the pix axis
+        rgb, alpha, depth = _merge_depth_slices(out, bg_, gauss_axis,
+                                                n_gauss)
         rgb = jax.lax.all_gather(rgb, pix_axis, axis=0, tiled=True)
-        alpha = jax.lax.all_gather(1.0 - total, pix_axis, axis=0,
-                                   tiled=True)
+        alpha = jax.lax.all_gather(alpha, pix_axis, axis=0, tiled=True)
         depth = jax.lax.all_gather(depth, pix_axis, axis=0, tiled=True)
         return rgb, alpha, depth
 

@@ -591,34 +591,47 @@ class PosedMultiViewDataset(PairViewDataset):
                 self._load_view(scene, j, rng, resolution=resolution))
 
 
-def write_synthetic_scene(root, name="scene0", n_views=6, h=32, w=48,
-                          focal=40.0, seed=0):
-    """Materialize a synthetic posed-RGBD scene in the dataset layout
-    (fixture for tests and smoke pre-training runs)."""
-    from instantsplat_tpu.data.images import save_image
-
+def synthetic_views(n_views, h, w, focal, seed=0):
+    """Geometrically consistent synthetic views (fronto-parallel plane at
+    z=4 seen from shifted cameras) — the shared fixture geometry for every
+    synthetic-scene writer. -> list of dicts(img u8 [H,W,3],
+    depth f32 [H,W], K, c2w)."""
     rng = np.random.default_rng(seed)
-    sdir = Path(root) / name
-    (sdir / "images").mkdir(parents=True, exist_ok=True)
-    (sdir / "depth").mkdir(parents=True, exist_ok=True)
     K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]],
                  np.float32)
-    c2ws, names = [], []
     gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+    out = []
     for v in range(n_views):
         ang = 0.08 * v
         c2w = np.eye(4, dtype=np.float32)
         c2w[:3, 3] = [np.sin(ang), 0, -0.2 * v]
         dirs = np.stack([(gx - w / 2) / focal, (gy - h / 2) / focal,
                          np.ones_like(gx)], -1) @ c2w[:3, :3].T
-        lam = (4.0 - c2w[2, 3]) / dirs[..., 2]
-        depth = lam.astype(np.float32)
-        img = rng.random((h, w, 3)).astype(np.float32)
+        depth = ((4.0 - c2w[2, 3]) / dirs[..., 2]).astype(np.float32)
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        out.append(dict(img=img, depth=depth, K=K, c2w=c2w))
+    return out
+
+
+def write_synthetic_scene(root, name="scene0", n_views=6, h=32, w=48,
+                          focal=40.0, seed=0):
+    """Materialize a synthetic posed-RGBD scene in the dataset layout
+    (fixture for tests and smoke pre-training runs)."""
+    from instantsplat_tpu.data.images import save_image
+
+    sdir = Path(root) / name
+    (sdir / "images").mkdir(parents=True, exist_ok=True)
+    (sdir / "depth").mkdir(parents=True, exist_ok=True)
+    views = synthetic_views(n_views, h, w, focal, seed)
+    names = []
+    for v, view in enumerate(views):
         name_v = f"f{v:04d}"
-        save_image(sdir / "images" / f"{name_v}.png", img)
-        np.save(sdir / "depth" / f"{name_v}.npy", depth)
-        c2ws.append(c2w)
+        save_image(sdir / "images" / f"{name_v}.png",
+                   view["img"].astype(np.float32) / 255.0)
+        np.save(sdir / "depth" / f"{name_v}.npy", view["depth"])
         names.append(name_v)
-    np.savez(sdir / "poses.npz", c2w=np.stack(c2ws),
-             K=np.tile(K, (n_views, 1, 1)), names=np.array(names))
+    np.savez(sdir / "poses.npz",
+             c2w=np.stack([v["c2w"] for v in views]),
+             K=np.stack([v["K"] for v in views]),
+             names=np.array(names))
     return sdir

@@ -33,6 +33,7 @@ from instantsplat_tpu.train_dust3r.datasets import (  # noqa: F401
     MulDataset,
     PairViewDataset,
     ResizedDataset,
+    synthetic_views as _synth_views,
 )
 
 __all__ = [
@@ -469,24 +470,14 @@ def make_dataset(spec: str) -> PairViewDataset:
 # ---------------------------------------------------------------------------
 
 
-def _synth_views(n_views, h, w, focal, seed=0, depth_offset=0.0):
-    """-> list of dicts(img u8 [H,W,3], depth f32 [H,W], K, c2w)."""
-    rng = np.random.default_rng(seed)
-    K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]],
-                 np.float32)
-    gx, gy = np.meshgrid(np.arange(w), np.arange(h))
-    out = []
-    for v in range(n_views):
-        ang = 0.08 * v
-        c2w = np.eye(4, dtype=np.float32)
-        c2w[:3, 3] = [np.sin(ang), 0, -0.2 * v]
-        dirs = np.stack([(gx - w / 2) / focal, (gy - h / 2) / focal,
-                         np.ones_like(gx)], -1) @ c2w[:3, :3].T
-        depth = ((4.0 + depth_offset - c2w[2, 3])
-                 / dirs[..., 2]).astype(np.float32)
-        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
-        out.append(dict(img=img, depth=depth, K=K, c2w=c2w))
-    return out
+def _write_selected_seqs(root, obj, instance, n_views):
+    """Co3D-family scene index: a 100-slot image pool cycling the views
+    (the reference's pair combinations assume 100-image pools)."""
+    pool = (list(range(n_views)) * (100 // n_views + 1))[:100]
+    sel = {obj: {instance: pool}}
+    for split in ("train", "test"):
+        with open(Path(root) / f"selected_seqs_{split}.json", "w") as f:
+            json.dump(sel, f)
 
 
 def _save_jpg(path, img_u8):
@@ -514,11 +505,7 @@ def write_synthetic_co3d(root, obj="chair", instance="i0", n_views=8,
         (base / "masks").mkdir(parents=True, exist_ok=True)
         _save_jpg(base / "masks" / f"frame{v:06d}.png",
                   np.full((h, w, 3), 255, np.uint8))
-    sel = {obj: {instance: list(range(n_views)) * (100 // n_views + 1)}}
-    sel[obj][instance] = sel[obj][instance][:100]
-    for split in ("train", "test"):
-        with open(root / f"selected_seqs_{split}.json", "w") as f:
-            json.dump(sel, f)
+    _write_selected_seqs(root, obj, instance, n_views)
     return root
 
 
@@ -539,11 +526,7 @@ def write_synthetic_wildrgbd(root, obj="toy", instance="i0", n_views=8,
         (base / "masks").mkdir(parents=True, exist_ok=True)
         _save_jpg(base / "masks" / f"{v:05d}.png",
                   np.full((h, w, 3), 255, np.uint8))
-    sel = {obj: {instance: list(range(n_views)) * (100 // n_views + 1)}}
-    sel[obj][instance] = sel[obj][instance][:100]
-    for split in ("train", "test"):
-        with open(root / f"selected_seqs_{split}.json", "w") as f:
-            json.dump(sel, f)
+    _write_selected_seqs(root, obj, instance, n_views)
     return root
 
 
