@@ -198,14 +198,19 @@ def gaussian_sharded_render(
     """Render one view with the GAUSSIANS depth-sliced over the mesh.
 
     The complementary scaling axis to `sharded_render`: pixel sharding
-    replicates all N Gaussians on every chip (per-chip HBM caps N);
-    here each chip composites a CONTIGUOUS DEPTH SLICE of the globally
-    sorted splat list over the full image, and the per-chip partials
-    merge with the associative over operator —
+    gives every chip the full N-Gaussian compositing workload; here each
+    chip composites a CONTIGUOUS DEPTH SLICE of the globally sorted splat
+    list over the full image, and the per-chip partials merge with the
+    associative over operator —
     (C_a, T_a) o (C_b, T_b) = (C_a + T_a*C_b, T_a*T_b) for depth-ordered
     segments a before b — as one all_gather of the [H, W] transmittance
     maps + a prefix-product-weighted psum of the premultiplied colors.
-    Per-chip memory and compositing FLOPs scale 1/ndev in N.
+    Per-chip COMPOSITING work (the dominant cost: falloff/prefix-sum/
+    gradient math over [G, pixels] blocks) scales 1/ndev in N. The
+    geometry front-end (projection, SH, the global depth sort, the
+    [N, 16] packed array) stays replicated — the sort is global by
+    construction — so per-chip MEMORY still carries O(N) front-end
+    state; this path scales compute, not the N memory ceiling.
 
     Semantics note: the single-device early-termination latch (fires when
     T would cross 1e-4 and drops the firing splat too — the CUDA

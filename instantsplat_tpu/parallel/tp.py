@@ -39,29 +39,40 @@ def _spec_for(path) -> tuple:
     return P()
 
 
-def shard_params_tp(params, mesh: Mesh, check_divisible: bool = True):
+def shard_params_tp(params, mesh: Mesh, strict: bool = False):
     """Place a MASt3R param pytree tensor-parallel over mesh axis
     'model'. Returns the sharded pytree (weights split across chips,
     norms/embeddings/heads replicated).
 
     The model-axis size must divide every sharded feature dim (ViT-L:
-    1024/3072/4096 — TP up to 8); with check_divisible, non-dividing
-    leaves fall back to replicated instead of erroring (e.g. head MLPs
-    with odd widths).
+    1024/3072/4096 — TP up to 8); non-dividing leaves (e.g. head MLPs
+    with odd widths) fall back to replicated, or raise with strict=True.
+    A TP degree that divides NOTHING raises either way — silent
+    zero-sharding would defeat the point.
     """
     assert "model" in mesh.axis_names, mesh.axis_names
     n = mesh.shape["model"]
+    n_sharded = 0
 
     def place(path, leaf):
+        nonlocal n_sharded
         spec = _spec_for(path)
         for dim, name in enumerate(spec):
             if name == "model" and leaf.shape[dim] % n != 0:
-                if not check_divisible:
+                if strict:
                     raise ValueError(
                         f"{jax.tree_util.keystr(path)}: dim {dim} "
                         f"({leaf.shape[dim]}) not divisible by TP={n}")
                 spec = P()
                 break
+        if any(name == "model" for name in spec):
+            n_sharded += 1
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map_with_path(place, params)
+    out = jax.tree_util.tree_map_with_path(place, params)
+    if n_sharded == 0:
+        raise ValueError(
+            f"TP={n} divides no weight dim of this model — every leaf "
+            "would be replicated. Pick a TP degree dividing the embed/"
+            "mlp/qkv dims.")
+    return out

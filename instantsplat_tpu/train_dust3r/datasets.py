@@ -476,7 +476,7 @@ class ResizedDataset(PairViewDataset):
         return self.size
 
     def __repr__(self):
-        k = len(str(self.size)) // 3
+        k = (len(str(self.size)) - 1) // 3
         suffix = ["", "K", "M", "G"][k]
         return f"{self.size // 1000 ** k}{suffix} @ {self.dataset!r}"
 

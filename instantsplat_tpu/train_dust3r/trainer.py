@@ -253,12 +253,20 @@ def save_pretrain_checkpoint(path, state):
 
 def load_pretrain_checkpoint(path, template_state):
     """Inverse of save: leaves are looked up by pytree key-path string, so
-    any params structure round-trips as long as the template matches."""
+    any params structure round-trips as long as the template matches.
+    Each loaded leaf is placed with the TEMPLATE leaf's sharding, so an
+    FSDP-placed state keeps its placement across resume (plain host/
+    replicated templates are unaffected)."""
+    def put(arr, tmpl):
+        sh = getattr(tmpl, "sharding", None)
+        return (jax.device_put(arr, sh) if sh is not None
+                else jnp.asarray(arr))
+
     with np.load(path) as z:
         leaves_p = jax.tree_util.tree_flatten_with_path(template_state)[0]
         treedef = jax.tree_util.tree_structure(template_state)
         leaves = [
-            jnp.asarray(z[jax.tree_util.keystr(kp)]) for kp, _ in leaves_p
+            put(z[jax.tree_util.keystr(kp)], tmpl) for kp, tmpl in leaves_p
         ]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
@@ -295,11 +303,22 @@ def train_loop(params, cfg, batches: Iterator, mesh=None, n_steps=None,
     if eval_batches is not None:
         eval_step = make_eval_step(cfg, **kw)
 
+    def eval_shard(batch):
+        # plain [B, ...] batches, DP-sharded on the leading axis like the
+        # training step (otherwise every chip recomputes the full batch)
+        if mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(list(mesh.axis_names)[0]))
+        return jax.tree.map(
+            lambda x: jax.device_put(x, sh)
+            if hasattr(x, "shape") and x.ndim >= 1 else x, batch)
+
     def run_eval(step):
-        # eval consumes PLAIN [B, ...] batches (no accumulation stacking)
         totals, n = {}, 0
         for eb in eval_batches():
-            loss, details = eval_step(state["params"], eb)
+            loss, details = eval_step(state["params"], eval_shard(eb))
             totals["test_loss"] = totals.get("test_loss", 0.0) + float(loss)
             for k, v in details.items():
                 try:
@@ -339,7 +358,11 @@ def train_loop(params, cfg, batches: Iterator, mesh=None, n_steps=None,
         state, metrics = train_step(state, shard_batch(batch))
         if i % log_every == 0 or (n_steps and i == n_steps - 1):
             check_finite(metrics)
-            history.append((i, {k: float(v) for k, v in metrics.items()}))
+            # history steps are 1-based optimizer-step counts, the same
+            # convention as state['step'], keep_every snapshots, and the
+            # eval entries
+            history.append(
+                (i + 1, {k: float(v) for k, v in metrics.items()}))
         if ckpt_path and save_every and (i + 1) % save_every == 0:
             check_finite(metrics)
             save_pretrain_checkpoint(ckpt_path, state)

@@ -468,3 +468,30 @@ def test_fsdp_pretrain_step_matches_replicated():
     for a, b in zip(jax.tree.leaves(s_r["params"]),
                     jax.tree.leaves(s_f["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fsdp_checkpoint_resume_keeps_sharding(tmp_path):
+    """Resume must re-place loaded leaves with the template's sharding —
+    an FSDP run that resumed as replicated would silently lose the ZeRO-3
+    memory saving (and OOM at the scale FSDP exists for)."""
+    from instantsplat_tpu.models import mast3r
+    from instantsplat_tpu.train_dust3r.trainer import (
+        load_pretrain_checkpoint,
+        make_dp_train_step,
+        save_pretrain_checkpoint,
+    )
+
+    cfg = mast3r.MASt3RConfig(
+        enc_embed_dim=32, enc_depth=1, enc_num_heads=2, dec_embed_dim=32,
+        dec_depth=1, dec_num_heads=2, dpt_layer_dims=(8, 8, 8, 8),
+        dpt_feature_dim=8, dpt_last_dim=4, patch_size=16)
+    mesh = make_mesh(4)
+    init_f, _, _ = make_dp_train_step(cfg, mesh=mesh, fsdp=True)
+    state = init_f(mast3r.init_params(cfg, seed=0))
+    qkv_spec = str(
+        state["params"]["enc_blocks"][0]["attn"]["qkv"]["w"].sharding.spec)
+    assert "data" in qkv_spec
+    save_pretrain_checkpoint(tmp_path / "ckpt.npz", state)
+    loaded = load_pretrain_checkpoint(tmp_path / "ckpt.npz", state)
+    got = loaded["params"]["enc_blocks"][0]["attn"]["qkv"]["w"].sharding
+    assert "data" in str(getattr(got, "spec", got)), got
