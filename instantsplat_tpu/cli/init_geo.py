@@ -35,6 +35,13 @@ def main(argv=None):
     parser.add_argument("--depth_thre", type=float, default=0.01)
     parser.add_argument("--infer_video", action="store_true")
     parser.add_argument("--batch_size", type=int, default=8)
+    # Accepted for drop-in compatibility with reference init_geo.py:137-144;
+    # the reference accepts them but its main() never consumes them either
+    # (split_train_test hardcodes the 12-index split, the aligner keeps its
+    # default conf threshold) — documented no-ops here too.
+    parser.add_argument("--min_conf_thr", type=float, default=5)
+    parser.add_argument("--llffhold", type=int, default=8)
+    parser.add_argument("--device", type=str, default="tpu")
     args = parser.parse_args(argv)
 
     from instantsplat_tpu.models.mast3r_infer import make_pointmap_fn

@@ -31,6 +31,15 @@ def main(argv=None):
     parser.add_argument("--schedule", type=str, default="cosine")
     parser.add_argument("--focal_avg", action="store_true")
     parser.add_argument("--batch_size", type=int, default=8)
+    # Accepted for drop-in compatibility with reference
+    # init_test_pose.py:100-114 (unused by its main(), unused here).
+    parser.add_argument("--min_conf_thr", type=float, default=5)
+    parser.add_argument("--llffhold", type=int, default=8)
+    parser.add_argument("--device", type=str, default="tpu")
+    parser.add_argument("--conf_aware_ranking", action="store_true")
+    parser.add_argument("--co_vis_dsp", action="store_true")
+    parser.add_argument("--depth_thre", type=float, default=0.01)
+    parser.add_argument("--infer_video", action="store_true")
     args = parser.parse_args(argv)
 
     from instantsplat_tpu.models.mast3r_infer import make_pointmap_fn

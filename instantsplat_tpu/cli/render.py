@@ -22,7 +22,9 @@ def main(argv=None):
     C.add_group(parser, C.ModelParams,
                 abbrevs={"source_path": "s", "model_path": "m"})
     C.add_group(parser, C.PipelineParams)
-    parser.add_argument("--iteration", type=int, default=-1)
+    # reference render.py:256 spells the flag --iterations; accept both
+    parser.add_argument("--iteration", "--iterations", dest="iteration",
+                        type=int, default=-1)
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--infer_video", action="store_true")

@@ -35,6 +35,13 @@ def main(argv=None):
     parser.add_argument("--ip", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=6009)
     parser.add_argument("--quiet", action="store_true")
+    # Reference-compat no-ops (train.py:305-310): --disable_viewer defaults
+    # True upstream (the flag can't turn the viewer ON; --enable_viewer is
+    # the meaningful switch here); torch-only debug knobs are accepted and
+    # ignored — XLA has no per-iteration anomaly mode.
+    parser.add_argument("--disable_viewer", action="store_true", default=True)
+    parser.add_argument("--debug_from", type=int, default=-1)
+    parser.add_argument("--detect_anomaly", action="store_true")
     args = parser.parse_args(argv)
 
     model = C.extract_group(args, C.ModelParams)

@@ -57,7 +57,7 @@ class OptimizationConfig:
     densify_grad_threshold: float = 0.0002
     random_background: bool = False
     pp_optimizer: bool = False
-    optim_pose: bool = True
+    optim_pose: bool = False  # store_true flag; run scripts pass --optim_pose
     beta1: float = 0.9
     beta2: float = 0.999
     eps: float = 1e-15
