@@ -16,10 +16,7 @@ from __future__ import annotations
 from argparse import ArgumentParser
 
 
-def main(argv=None):
-    from instantsplat_tpu.parallel import initialize_runtime
-
-    initialize_runtime()  # no-op single-process; wires jax.distributed on pods
+def build_parser() -> ArgumentParser:
     parser = ArgumentParser(description="geometry initialization")
     parser.add_argument("--source_path", "-s", required=True)
     parser.add_argument("--model_path", "-m", required=True)
@@ -42,7 +39,14 @@ def main(argv=None):
     parser.add_argument("--min_conf_thr", type=float, default=5)
     parser.add_argument("--llffhold", type=int, default=8)
     parser.add_argument("--device", type=str, default="tpu")
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None):
+    from instantsplat_tpu.parallel import initialize_runtime
+
+    initialize_runtime()  # no-op single-process; wires jax.distributed on pods
+    args = build_parser().parse_args(argv)
 
     from instantsplat_tpu.models.mast3r_infer import make_pointmap_fn
 

@@ -16,10 +16,7 @@ from __future__ import annotations
 from argparse import ArgumentParser
 
 
-def main(argv=None):
-    from instantsplat_tpu.parallel import initialize_runtime
-
-    initialize_runtime()
+def build_parser() -> ArgumentParser:
     parser = ArgumentParser(description="test-pose initialization")
     parser.add_argument("--source_path", "-s", required=True)
     parser.add_argument("--model_path", "-m", required=True)
@@ -40,7 +37,14 @@ def main(argv=None):
     parser.add_argument("--co_vis_dsp", action="store_true")
     parser.add_argument("--depth_thre", type=float, default=0.01)
     parser.add_argument("--infer_video", action="store_true")
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None):
+    from instantsplat_tpu.parallel import initialize_runtime
+
+    initialize_runtime()
+    args = build_parser().parse_args(argv)
 
     from instantsplat_tpu.models.mast3r_infer import make_pointmap_fn
     from instantsplat_tpu.pipelines.init_test_pose_pipeline import (

@@ -12,16 +12,20 @@ from argparse import ArgumentParser
 from instantsplat_tpu.pipelines.metrics_pipeline import run_metrics
 
 
-def main(argv=None):
-    from instantsplat_tpu.parallel import initialize_runtime
-
-    initialize_runtime()  # no-op single-process; wires jax.distributed on pods
+def build_parser() -> ArgumentParser:
     parser = ArgumentParser(description="evaluate renders + poses")
     parser.add_argument("--model_paths", "-m", nargs="+", required=True)
     parser.add_argument("--source_path", "-s", type=str, default=None)
     parser.add_argument("--n_views", type=int, default=None)
     parser.add_argument("--no_pose", action="store_true")
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None):
+    from instantsplat_tpu.parallel import initialize_runtime
+
+    initialize_runtime()  # no-op single-process; wires jax.distributed on pods
+    args = build_parser().parse_args(argv)
 
     results = run_metrics(
         args.model_paths,

@@ -14,13 +14,12 @@ from instantsplat_tpu.pipelines import config as C
 from instantsplat_tpu.pipelines.render_pipeline import run_render
 
 
-def main(argv=None):
-    from instantsplat_tpu.parallel import initialize_runtime
-
-    initialize_runtime()  # no-op single-process; wires jax.distributed on pods
+def build_parser() -> ArgumentParser:
     parser = ArgumentParser(description="render trained scene")
     C.add_group(parser, C.ModelParams,
-                abbrevs={"source_path": "s", "model_path": "m"})
+                abbrevs={"source_path": "s", "model_path": "m",
+                         "images": "i", "resolution": "r",
+                         "white_background": "w"})
     C.add_group(parser, C.PipelineParams)
     # reference render.py:256 spells the flag --iterations; accept both
     parser.add_argument("--iteration", "--iterations", dest="iteration",
@@ -30,7 +29,14 @@ def main(argv=None):
     parser.add_argument("--infer_video", action="store_true")
     parser.add_argument("--optim_test_pose_iter", type=int, default=500)
     parser.add_argument("--test_fps", action="store_true")
-    args = C.get_combined_args(parser, argv)
+    return parser
+
+
+def main(argv=None):
+    from instantsplat_tpu.parallel import initialize_runtime
+
+    initialize_runtime()  # no-op single-process; wires jax.distributed on pods
+    args = C.get_combined_args(build_parser(), argv)
 
     model = C.extract_group(args, C.ModelParams)
     it = run_render(

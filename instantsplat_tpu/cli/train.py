@@ -15,13 +15,12 @@ from instantsplat_tpu.pipelines.train_pipeline import run_training
 from instantsplat_tpu.pipelines.trainer import TrainerConfig
 
 
-def main(argv=None):
-    from instantsplat_tpu.parallel import initialize_runtime
-
-    initialize_runtime()  # no-op single-process; wires jax.distributed on pods
+def build_parser() -> ArgumentParser:
     parser = ArgumentParser(description="joint Gaussian+pose training")
     C.add_group(parser, C.ModelParams,
-                abbrevs={"source_path": "s", "model_path": "m"})
+                abbrevs={"source_path": "s", "model_path": "m",
+                         "images": "i", "resolution": "r",
+                         "white_background": "w"})
     C.add_group(parser, C.PipelineParams)
     C.add_opt_group(parser)
     parser.add_argument("--save_iterations", nargs="+", type=int, default=[])
@@ -42,7 +41,14 @@ def main(argv=None):
     parser.add_argument("--disable_viewer", action="store_true", default=True)
     parser.add_argument("--debug_from", type=int, default=-1)
     parser.add_argument("--detect_anomaly", action="store_true")
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None):
+    from instantsplat_tpu.parallel import initialize_runtime
+
+    initialize_runtime()  # no-op single-process; wires jax.distributed on pods
+    args = build_parser().parse_args(argv)
 
     model = C.extract_group(args, C.ModelParams)
     opt = C.make_opt_config(args)
