@@ -82,6 +82,59 @@ def _pose_dlt(X, xn):
     return R, t
 
 
+def _pose_planar(X, xn):
+    """[R|t] from >= 4 (near-)coplanar points via plane-homography
+    decomposition (Zhang). The 6-point DLT above is rank-deficient when
+    the sample is coplanar — which real pointmaps (walls, floors, planar
+    fixtures) hit constantly; cv2's SQPNP at the reference call site
+    (init_im_poses.py:284) handles planarity natively, so RANSAC scores
+    this candidate alongside the DLT one.
+
+    Returns (R, t) world->cam or None."""
+    n = X.shape[0]
+    c = X.mean(0)
+    X0 = X - c
+    try:
+        _, _, Vt = np.linalg.svd(X0, full_matrices=False)
+    except np.linalg.LinAlgError:
+        return None
+    M = Vt.T  # plane frame: columns b1, b2, normal
+    if np.linalg.det(M) < 0:
+        # right-handed basis, else R = Rc @ M.T is a REFLECTION — which
+        # projects coplanar points identically (planar two-fold ambiguity)
+        # but breaks _log_so3/_refine_gn downstream
+        M = M * np.array([1.0, 1.0, -1.0])
+    v = X0 @ M  # [n,3]; v[:, 2] ~ 0 when planar
+    # homography (v1, v2, 1) -> xn
+    vh = np.hstack([v[:, :2], np.ones((n, 1))])
+    A = np.zeros((2 * n, 9))
+    A[0::2, 0:3] = vh
+    A[0::2, 6:9] = -xn[:, 0:1] * vh
+    A[1::2, 3:6] = vh
+    A[1::2, 6:9] = -xn[:, 1:2] * vh
+    try:
+        _, _, Vt2 = np.linalg.svd(A)
+    except np.linalg.LinAlgError:
+        return None
+    H = Vt2[-1].reshape(3, 3)
+    n1 = np.linalg.norm(H[:, 0])
+    n2 = np.linalg.norm(H[:, 1])
+    if n1 < 1e-12 or n2 < 1e-12:
+        return None
+    H = H * (2.0 / (n1 + n2))
+    for sgn in (1.0, -1.0):
+        r1, r2, t = sgn * H[:, 0], sgn * H[:, 1], sgn * H[:, 2]
+        Rc = np.stack([r1, r2, np.cross(r1, r2)], 1)
+        U, _, Vr = np.linalg.svd(Rc)
+        Rc = U @ np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vr))]) @ Vr
+        R = Rc @ M.T
+        tf = t - R @ c
+        z = X @ R[2] + tf[2]
+        if np.median(z) > 0:
+            return R, tf
+    return None
+
+
 def _reproj_err(R, t, X, xn):
     """Per-point reprojection error in NORMALIZED image units."""
     Xc = X @ R.T + t
@@ -173,19 +226,27 @@ def pnp_ransac(
             need = int(np.ceil(np.log(0.01) / denom)) if denom < 0 else niter
             max_it = min(max(niter, need), 25 * niter)
         sel = rng.choice(n, size=MIN_PNP_POINTS, replace=False)
-        sol = _pose_dlt(pts3d[sel], xn[sel])
-        if sol is None:
-            continue
-        R, t = sol
-        err = _reproj_err(R, t, pts3d, xn)
-        score = int((err < thr).sum())
-        if score <= best[0]:
+        # score both the general DLT pose and the planar-homography pose:
+        # smooth-surface samples are often near-coplanar, where the DLT
+        # is degenerate (and vice versa the homography fit is poor for
+        # strongly non-planar samples — RANSAC keeps whichever scores)
+        R = t = None
+        score = best[0]
+        for sol in (_pose_dlt(pts3d[sel], xn[sel]),
+                    _pose_planar(pts3d[sel], xn[sel])):
+            if sol is None:
+                continue
+            err_c = _reproj_err(sol[0], sol[1], pts3d, xn)
+            score_c = int((err_c < thr).sum())
+            if score_c > score:
+                R, t, score = sol[0], sol[1], score_c
+        if R is None:
             continue
         # LO-RANSAC: locally optimize every improving hypothesis on its
         # consensus set and rescore — a contaminated 6-point sample rarely
         # survives the polish, which is what lets niter stay at the
         # reference's 10 samples under heavy outlier ratios.
-        inl = err < thr
+        inl = _reproj_err(R, t, pts3d, xn) < thr
         if inl.sum() >= MIN_PNP_POINTS:
             R2, t2 = _refine_gn(R, t, pts3d[inl], xn[inl])
             err2 = _reproj_err(R2, t2, pts3d, xn)
@@ -196,11 +257,16 @@ def pnp_ransac(
         return None
     _, R, t = best
     inl = _reproj_err(R, t, pts3d, xn) < thr
-    R, t = _refine_gn(R, t, pts3d[inl], xn[inl])
-    inl = _reproj_err(R, t, pts3d, xn) < thr
-    if inl.sum() >= MIN_PNP_POINTS:  # second polish on the refined inliers
-        R, t = _refine_gn(R, t, pts3d[inl], xn[inl])
-        inl = _reproj_err(R, t, pts3d, xn) < thr
+    # final polish passes, each accepted only if it keeps the consensus
+    # (plain Gauss-Newton is undamped and can diverge from a poor basin)
+    for _ in range(2):
+        R2, t2 = _refine_gn(R, t, pts3d[inl], xn[inl])
+        inl2 = _reproj_err(R2, t2, pts3d, xn) < thr
+        if inl2.sum() < inl.sum():
+            break
+        R, t, inl = R2, t2, inl2
+        if inl.sum() < MIN_PNP_POINTS:
+            break
     return R, t, inl
 
 
