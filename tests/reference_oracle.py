@@ -235,3 +235,58 @@ def load_reference_cloud_opt():
     from dust3r.cloud_opt import GlobalAlignerMode, global_aligner
 
     return global_aligner, GlobalAlignerMode
+
+
+def load_reference_module(name: str):
+    """Import any reference module (e.g. 'utils.loss_utils') with the
+    same stub environment as the cloud_opt oracle. Used by the
+    component-level parity tests (tests/test_reference_components.py).
+
+    'scene.colmap_loader' is loaded straight from its file: importing it
+    as a package submodule would execute scene/__init__.py, which pulls
+    dataset_readers -> plyfile (absent in this environment)."""
+    import importlib
+    import importlib.util
+
+    if not reference_available():
+        raise RuntimeError("reference snapshot not available")
+    _install_roma()
+    _install_husks()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    if name == "scene.colmap_loader":
+        key = "_reference_colmap_loader"
+        if key not in sys.modules:
+            spec = importlib.util.spec_from_file_location(
+                key, os.path.join(REFERENCE_ROOT, "scene", "colmap_loader.py"))
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            sys.modules[key] = mod
+        return sys.modules[key]
+    return importlib.import_module(name)
+
+
+class torch_cuda_to_cpu:
+    """Context manager routing hardcoded device='cuda' torch allocations to
+    CPU. Several reference utils construct tensors with device='cuda'
+    unconditionally (utils/general_utils.py:83 build_rotation,
+    :102 build_scaling_rotation); the math is device-independent, so the
+    parity tests run them on CPU through this shim."""
+
+    def __enter__(self):
+        import torch
+
+        self._torch = torch
+        self._orig_zeros = torch.zeros
+
+        def zeros(*a, **k):
+            if k.get("device") == "cuda":
+                k["device"] = "cpu"
+            return self._orig_zeros(*a, **k)
+
+        torch.zeros = zeros
+        return self
+
+    def __exit__(self, *exc):
+        self._torch.zeros = self._orig_zeros
+        return False
