@@ -242,11 +242,13 @@ def load_reference_module(name: str):
     same stub environment as the cloud_opt oracle. Used by the
     component-level parity tests (tests/test_reference_components.py).
 
-    'scene.colmap_loader' is loaded straight from its file: importing it
-    as a package submodule would execute scene/__init__.py, which pulls
-    dataset_readers -> plyfile (absent in this environment)."""
+    'scene.*' submodules are made importable through a namespace stub:
+    executing the real scene/__init__.py would pull dataset_readers ->
+    plyfile (absent in this environment), so a bare package object with
+    __path__ pointing at the reference's scene/ directory is registered
+    instead — submodule imports (colmap_loader, cameras) then load their
+    files directly without running the package initializer."""
     import importlib
-    import importlib.util
 
     if not reference_available():
         raise RuntimeError("reference snapshot not available")
@@ -254,15 +256,10 @@ def load_reference_module(name: str):
     _install_husks()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
-    if name == "scene.colmap_loader":
-        key = "_reference_colmap_loader"
-        if key not in sys.modules:
-            spec = importlib.util.spec_from_file_location(
-                key, os.path.join(REFERENCE_ROOT, "scene", "colmap_loader.py"))
-            mod = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(mod)
-            sys.modules[key] = mod
-        return sys.modules[key]
+    if "scene" not in sys.modules:
+        pkg = types.ModuleType("scene")
+        pkg.__path__ = [os.path.join(REFERENCE_ROOT, "scene")]
+        sys.modules["scene"] = pkg
     return importlib.import_module(name)
 
 

@@ -324,6 +324,63 @@ def test_sim3_trajectory_alignment_matches_reference():
 
 
 # ---------------------------------------------------------------------------
+# camera paths: utils/camera_utils.py + utils/pose_utils.py
+# ---------------------------------------------------------------------------
+
+
+def _keyframe_poses(n=4, seed=13):
+    """Camera c2w keyframes on an arc looking roughly at the origin."""
+    r = _rng(seed)
+    poses = []
+    for i in range(n):
+        ang = 0.4 * i
+        pos = np.array([2.0 * np.sin(ang), 0.3 * i, 2.0 * np.cos(ang)])
+        pos += 0.05 * r.standard_normal(3)
+        fwd = -pos / np.linalg.norm(pos)
+        right = np.cross(np.array([0.0, 1.0, 0.0]), fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        poses.append(np.concatenate(
+            [np.stack([right, up, fwd], 1), pos[:, None]], axis=1))
+    return np.stack(poses)
+
+
+def test_interpolated_path_matches_reference():
+    """utils/camera_paths.generate_interpolated_path vs
+    utils/camera_utils.py:127-182 — the B-spline every pipeline stage uses
+    for test-pose pre-init (init_geo.py:94) and video paths (render.py:43)."""
+    from instantsplat_tpu.utils.camera_paths import generate_interpolated_path
+
+    cu = load_reference_module("utils.camera_utils")
+    poses = _keyframe_poses()
+    ref = cu.generate_interpolated_path(poses, n_interp=10)
+    ours = generate_interpolated_path(poses, 10)
+    assert ref.shape == ours.shape == (30, 3, 4)
+    np.testing.assert_allclose(ours, ref, rtol=1e-7, atol=1e-9)
+    # the 2-keyframe segments the call sites actually use (init_geo.py:94)
+    ref2 = cu.generate_interpolated_path(poses[1:3], n_interp=24)
+    ours2 = generate_interpolated_path(poses[1:3], 24)
+    np.testing.assert_allclose(ours2, ref2, rtol=1e-7, atol=1e-9)
+
+
+def test_transform_poses_pca_matches_reference():
+    """utils/camera_paths.transform_poses_pca + focus_point_fn vs
+    utils/pose_utils.py:239-292 (the normalization the ellipse render path
+    applies, pose_utils.py:310-312)."""
+    from instantsplat_tpu.utils import camera_paths as cp
+
+    pu = load_reference_module("utils.pose_utils")
+    poses = _keyframe_poses(n=6, seed=14)
+    ref_p, ref_t = pu.transform_poses_pca(poses)
+    our_p, our_t = cp.transform_poses_pca(poses)
+    np.testing.assert_allclose(our_p, ref_p, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(our_t, ref_t, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(
+        cp.focus_point_fn(poses), pu.focus_point_fn(poses),
+        rtol=1e-8, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
 # stepfun sampling: utils/stepfun.py
 # ---------------------------------------------------------------------------
 
