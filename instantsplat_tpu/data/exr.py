@@ -55,6 +55,29 @@ def _predictor_encode(data: bytes) -> bytes:
     return (d & 0xFF).astype(np.uint8).tobytes()
 
 
+def _read_blocks_py(buf, off, n_blocks, lpb, compression, w, y0, y1,
+                    channels, planes, pix_sz):
+    """Pure-numpy scanline-block decode: the portable fallback for (and the
+    test oracle of) the native codec."""
+    row_bytes = sum(w * s for s in pix_sz.values())
+    for _ in range(n_blocks):
+        y, size = struct.unpack_from("<ii", buf, off)
+        off += 8
+        raw = buf[off:off + size]
+        off += size
+        rows = min(lpb, y1 - y + 1)
+        if compression in (_COMP_ZIP, _COMP_ZIPS):
+            if size < rows * row_bytes:  # zlib only wins sometimes; EXR
+                raw = _predictor_decode(zlib.decompress(raw))  # stores raw
+        p = 0
+        for r in range(rows):
+            for cname, ptype in channels:  # alphabetical in-file order
+                nb = w * pix_sz[cname]
+                planes[cname][y - y0 + r] = np.frombuffer(
+                    raw, _DTYPE[ptype], count=w, offset=p)
+                p += nb
+
+
 def read_exr(path):
     """Read a single-part scanline EXR.
 
@@ -104,23 +127,21 @@ def read_exr(path):
 
     planes = {c: np.empty((h, w), _DTYPE[t]) for c, t in channels}
     pix_sz = {c: np.dtype(_DTYPE[t]).itemsize for c, t in channels}
-    row_bytes = sum(w * s for s in pix_sz.values())
-    for _ in range(n_blocks):
-        y, size = struct.unpack_from("<ii", buf, off)
-        off += 8
-        raw = buf[off:off + size]
-        off += size
-        rows = min(lpb, y1 - y + 1)
-        if compression in (_COMP_ZIP, _COMP_ZIPS):
-            if size < rows * row_bytes:  # zlib only wins sometimes; EXR
-                raw = _predictor_decode(zlib.decompress(raw))  # stores raw
-        p = 0
-        for r in range(rows):
-            for cname, ptype in channels:  # alphabetical in-file order
-                nb = w * pix_sz[cname]
-                planes[cname][y - y0 + r] = np.frombuffer(
-                    raw, _DTYPE[ptype], count=w, offset=p)
-                p += nb
+
+    from instantsplat_tpu import native
+
+    if native.get_lib() is not None:
+        # Hot path: parallel per-block inflate + predictor + de-interleave
+        # in the C++ codec (instantsplat_tpu/native/exr_native.cpp).
+        native.exr_decode_blocks(
+            buf, off, n_blocks, lpb,
+            compression in (_COMP_ZIP, _COMP_ZIPS), w, h, y0,
+            [pix_sz[c] for c, _ in channels],
+            [planes[c] for c, _ in channels],
+        )
+    else:
+        _read_blocks_py(buf, off, n_blocks, lpb, compression, w, y0, y1,
+                        channels, planes, pix_sz)
     if len(channels) == 1:
         out = planes[channels[0][0]]
         return out.astype(np.float32) if out.dtype == np.float16 else out

@@ -1,9 +1,20 @@
-"""Train-step component split on the real chip (chained timing).
+"""Train-step component split on the real chip (scanned blocks).
 
 Reproduces bench.py's exact workload (384x512, N=100k, SH3, 150-iter
-burn-in to a mid-training opacity/scale distribution), then measures:
-render fwd, L1-only fwd+bwd, L1+SSIM fwd+bwd, and the full train step,
-to locate the next optimization lever.
+burn-in to a mid-training opacity/scale distribution), then measures each
+component as a 50-iteration lax.scan block per dispatch — single-dispatch
+timing is unusable on the axon dev tunnel (per-dispatch latency ~tens of
+ms swamps the ~ms compute; CLAUDE.md timing notes). Components:
+
+  render fwd            forward only (packed front-end + dense kernel)
+  front-end fwd         prepare_packed_splats only (no compositing)
+  L1 fwd+bwd            render + L1 + full gradient
+  loss fwd+bwd          render + L1+SSIM + full gradient
+  full step             loss fwd+bwd + grouped Adam update (== bench.py)
+
+Each scanned step chains on the previous step's output (params perturbed
+by a zero-magnitude function of the result) so XLA cannot collapse or
+overlap the iterations.
 """
 
 from __future__ import annotations
@@ -11,6 +22,9 @@ from __future__ import annotations
 import time
 
 import numpy as np
+
+K = 50  # iterations per dispatch
+BLOCKS = 4
 
 
 def main():
@@ -23,7 +37,7 @@ def main():
     from instantsplat_tpu.ops.losses import l1_loss
     from instantsplat_tpu.ops.ssim import ssim
     from instantsplat_tpu.pipelines.trainer import make_train_scan
-    from instantsplat_tpu.render.driver import render
+    from instantsplat_tpu.render.driver import prepare_packed_splats, render
 
     N, H, W = 100_000, 384, 512
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
@@ -48,49 +62,86 @@ def main():
     block = make_train_scan(opt, stacked, jnp.zeros(3), 0.2,
                             backend="pallas", chunk=512)
     it = 1
-    for _ in range(150 // 50):
-        vids = jnp.asarray(np.arange(it, it + 50) % 2, jnp.int32)
-        its = jnp.arange(it, it + 50, dtype=jnp.int32)
+    for _ in range(150 // K):
+        vids = jnp.asarray(np.arange(it, it + K) % 2, jnp.int32)
+        its = jnp.arange(it, it + K, dtype=jnp.int32)
         params, state, m = block(params, state, vids, its, 3)
-        it += 50
+        it += K
     jax.block_until_ready(m["loss"])
 
     cam = cams[0].replace(image=stacked.image[0])
     gt = stacked.image[0]
 
-    def timeit(f, p, iters=30):
-        out = f(p)
+    def scan_block(per_iter):
+        """Build a jitted K-iteration scan of per_iter(params) -> scalar."""
+
+        @jax.jit
+        def blockf(p):
+            def body(pp, _):
+                s = per_iter(pp)
+                # negligible-but-unfoldable chain: next iter depends on this
+                # result (0.0 * s gets constant-folded and the scan DCE'd)
+                return pp.replace(xyz=pp.xyz + 1e-30 * s), s
+
+            pp, ss = jax.lax.scan(body, p, None, length=K)
+            return ss[-1]
+
+        return blockf
+
+    def timeit(blockf, p):
+        out = blockf(p)  # compile + warm
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            p = p.replace(xyz=p.xyz + 1e-12 * jnp.mean(leaf))
-            out = f(p)
+        for _ in range(BLOCKS):
+            out = blockf(p)
         jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters * 1e3
+        return (time.perf_counter() - t0) / (BLOCKS * K) * 1e3
 
-    fwd = jax.jit(lambda p: render(p, cam, pose=p.get_pose(0),
-                                   backend="pallas").render)
-    print(f"render fwd:        {timeit(fwd, params):7.2f} ms")
-
-    def loss_fn(p):
+    def fwd_only(p):
         img = render(p, cam, pose=p.get_pose(0), backend="pallas").render
-        return 0.8 * l1_loss(img, gt) + 0.2 * (1.0 - ssim(img, gt))
+        return jnp.sum(img) * 1e-30
 
-    def l1_only(p):
-        img = render(p, cam, pose=p.get_pose(0), backend="pallas").render
-        return l1_loss(img, gt)
+    def frontend_only(p):
+        packed, _ = prepare_packed_splats(
+            p, p.get_pose(0), cam.fx, cam.fy, cam.cx, cam.cy,
+            jnp.float32(1.0), 3, H, W)
+        return jnp.sum(packed[:, 0]) * 1e-30
 
-    print(f"L1-only fwd+bwd:   {timeit(jax.jit(jax.grad(l1_only)), params):7.2f} ms")
-    print(f"loss fwd+bwd:      {timeit(jax.jit(jax.grad(loss_fn)), params):7.2f} ms")
+    def l1_grad(p):
+        def f(pp):
+            img = render(pp, cam, pose=pp.get_pose(0),
+                         backend="pallas").render
+            return l1_loss(img, gt)
 
-    @jax.jit
-    def step(p, s):
-        grads = jax.grad(loss_fn)(p)
-        p2, s2 = opt.step(p, grads, s, 100)
-        return p2
+        g = jax.grad(f)(p)
+        return jnp.sum(g.xyz) * 1e-30
 
-    print(f"full step:         {timeit(lambda p: step(p, state), params):7.2f} ms")
+    def loss_grad(p):
+        def f(pp):
+            img = render(pp, cam, pose=pp.get_pose(0),
+                         backend="pallas").render
+            return 0.8 * l1_loss(img, gt) + 0.2 * (1.0 - ssim(img, gt))
+
+        g = jax.grad(f)(p)
+        return jnp.sum(g.xyz) * 1e-30
+
+    print(f"front-end fwd:   {timeit(scan_block(frontend_only), params):7.2f} ms")
+    print(f"render fwd:      {timeit(scan_block(fwd_only), params):7.2f} ms")
+    print(f"L1 fwd+bwd:      {timeit(scan_block(l1_grad), params):7.2f} ms")
+    print(f"loss fwd+bwd:    {timeit(scan_block(loss_grad), params):7.2f} ms")
+
+    # full step: the production scan block itself
+    vids = jnp.asarray(np.arange(it, it + K) % 2, jnp.int32)
+    its = jnp.arange(it, it + K, dtype=jnp.int32)
+    p2, s2, m2 = block(params, state, vids, its, 3)
+    jax.block_until_ready(m2["loss"])
+    t0 = time.perf_counter()
+    p3, s3 = params, state
+    for _ in range(BLOCKS):
+        p3, s3, m3 = block(p3, s3, vids, its, 3)
+    jax.block_until_ready(m3["loss"])
+    dt = (time.perf_counter() - t0) / (BLOCKS * K) * 1e3
+    print(f"full step:       {dt:7.2f} ms")
 
 
 if __name__ == "__main__":
