@@ -94,6 +94,39 @@ def prepare_sorted_splats(
     return sorted_splats, proj
 
 
+@jax.custom_vjp
+def sort_payload(key, *cols):
+    """Variadic depth sort with a one-sort backward.
+
+    Sorts float32 payload columns by `key` ascending and returns them (the
+    sorted key itself is not returned; it gets a zero cotangent, matching
+    lax.sort's piecewise-constant permutation). The stock lax.sort VJP
+    transposes each payload column as a SEPARATE scatter-add (one per
+    column — serialized and bandwidth-poor on TPU); here the backward
+    applies the inverse permutation to every cotangent column with ONE
+    variadic lax.sort keyed on the forward's permutation.
+    """
+    s = jax.lax.sort((key,) + cols, num_keys=1, is_stable=False)
+    return s[1:]
+
+
+def _sort_payload_fwd(key, *cols):
+    n = key.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    s = jax.lax.sort((key, iota) + cols, num_keys=1, is_stable=False)
+    return s[2:], s[1]  # residual: the permutation
+
+
+def _sort_payload_bwd(perm, cts):
+    # rows return to their original positions when sorted by perm ascending
+    restored = jax.lax.sort((perm,) + tuple(cts), num_keys=1,
+                            is_stable=False)
+    return (jnp.zeros(perm.shape, jnp.float32),) + tuple(restored[1:])
+
+
+sort_payload.defvjp(_sort_payload_fwd, _sort_payload_bwd)
+
+
 def prepare_packed_splats(
     gaussians: GaussianModel,
     pose: jax.Array,
@@ -131,7 +164,7 @@ def prepare_packed_splats(
     log_op = jnp.log(jnp.maximum(gaussians.get_opacity()[:, 0], 1e-12))
 
     key = jnp.where(proj.valid, proj.depth, jnp.inf)
-    ops = (
+    s = sort_payload(
         key,
         proj.mean2d[:, 0],
         proj.mean2d[:, 1],
@@ -145,10 +178,9 @@ def prepare_packed_splats(
         proj.depth,
         proj.valid.astype(jnp.float32),
     )
-    s = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    lo_s = jnp.where(s[11] > 0.5, s[6], -jnp.inf)
+    lo_s = jnp.where(s[10] > 0.5, s[5], -jnp.inf)
     packed = jnp.stack(
-        [s[1], s[2], s[3], s[4], s[5], lo_s, s[7], s[8], s[9], s[10]],
+        [s[0], s[1], s[2], s[3], s[4], lo_s, s[6], s[7], s[8], s[9]],
         axis=1,
     )
     return packed, proj

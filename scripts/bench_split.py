@@ -105,7 +105,9 @@ def main():
         packed, _ = prepare_packed_splats(
             p, p.get_pose(0), cam.fx, cam.fy, cam.cx, cam.cy,
             jnp.float32(1.0), 3, H, W)
-        return jnp.sum(packed[:, 0]) * 1e-30
+        # sum ALL columns: a single-column sum lets XLA DCE the rest of
+        # the sort payload and the SH/color math
+        return jnp.sum(packed) * 1e-30
 
     def l1_grad(p):
         def f(pp):
