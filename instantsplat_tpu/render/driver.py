@@ -78,18 +78,32 @@ def prepare_sorted_splats(
 
     proj = project_gaussians(xyz, cov3d, R, t, fx, fy, cx, cy, width, height)
 
-    order = rasterize.sort_by_depth(proj.depth, proj.valid)
     log_op = jnp.log(jnp.maximum(gaussians.get_opacity()[:, 0], 1e-12))
-    # NOTE: six separate same-index gathers measure FASTER than one packed
-    # [N, 10] gather + slices (XLA fuses shared-index gathers; the packed
-    # form materializes extra copies) — measured 4.25 vs 3.64 Mpix/s.
+    # One variadic sort carries every column through the comparator network
+    # (sort_payload), replacing argsort + six row gathers forward and —
+    # the bigger win — six scatter-adds backward with one inverse sort.
+    key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    s = sort_payload(
+        key,
+        proj.mean2d[:, 0],
+        proj.mean2d[:, 1],
+        proj.conic[:, 0],
+        proj.conic[:, 1],
+        proj.conic[:, 2],
+        log_op,
+        colors[:, 0],
+        colors[:, 1],
+        colors[:, 2],
+        proj.depth,
+        proj.valid.astype(jnp.float32),
+    )
     sorted_splats = (
-        proj.mean2d[order],
-        proj.conic[order],
-        log_op[order],
-        colors[order],
-        proj.depth[order],
-        proj.valid[order],
+        jnp.stack([s[0], s[1]], axis=1),
+        jnp.stack([s[2], s[3], s[4]], axis=1),
+        s[5],
+        jnp.stack([s[6], s[7], s[8]], axis=1),
+        s[9],
+        s[10] > 0.5,
     )
     return sorted_splats, proj
 
