@@ -82,7 +82,11 @@ def prepare_sorted_splats(
     # One variadic sort carries every column through the comparator network
     # (sort_payload), replacing argsort + six row gathers forward and —
     # the bigger win — six scatter-adds backward with one inverse sort.
-    key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    # Validity is folded into the key (invalid -> finite sentinel, so the
+    # sorted key doubles as the depth column) and into log_opacity
+    # (invalid -> -inf): no separate depth/valid payload columns.
+    key = jnp.where(proj.valid, proj.depth, _INVALID_DEPTH)
+    lo_m = jnp.where(proj.valid, log_op, -jnp.inf)
     s = sort_payload(
         key,
         proj.mean2d[:, 0],
@@ -90,20 +94,18 @@ def prepare_sorted_splats(
         proj.conic[:, 0],
         proj.conic[:, 1],
         proj.conic[:, 2],
-        log_op,
+        lo_m,
         colors[:, 0],
         colors[:, 1],
         colors[:, 2],
-        proj.depth,
-        proj.valid.astype(jnp.float32),
     )
     sorted_splats = (
-        jnp.stack([s[0], s[1]], axis=1),
-        jnp.stack([s[2], s[3], s[4]], axis=1),
-        s[5],
-        jnp.stack([s[6], s[7], s[8]], axis=1),
-        s[9],
-        s[10] > 0.5,
+        jnp.stack([s[1], s[2]], axis=1),
+        jnp.stack([s[3], s[4], s[5]], axis=1),
+        s[6],
+        jnp.stack([s[7], s[8], s[9]], axis=1),
+        s[0],
+        s[0] < _INVALID_DEPTH,
     )
     return sorted_splats, proj
 
@@ -112,33 +114,42 @@ def prepare_sorted_splats(
 def sort_payload(key, *cols):
     """Variadic depth sort with a one-sort backward.
 
-    Sorts float32 payload columns by `key` ascending and returns them (the
-    sorted key itself is not returned; it gets a zero cotangent, matching
-    lax.sort's piecewise-constant permutation). The stock lax.sort VJP
-    transposes each payload column as a SEPARATE scatter-add (one per
-    column — serialized and bandwidth-poor on TPU); here the backward
-    applies the inverse permutation to every cotangent column with ONE
-    variadic lax.sort keyed on the forward's permutation.
+    Sorts by `key` ascending and returns (sorted_key, *sorted_cols). The
+    stock lax.sort VJP transposes each payload column as a SEPARATE
+    scatter-add (one per column — serialized and bandwidth-poor on TPU;
+    measured ~5.7 ms of an 18 ms train step); here the backward applies
+    the inverse permutation to every cotangent column with ONE variadic
+    lax.sort keyed on the forward's permutation. The sorted key is a
+    first-class differentiable output (its cotangent rides the same
+    inverse sort), so callers can reuse it as the depth column instead of
+    paying for a duplicate payload. Sort cost scales with payload bytes
+    (the comparator network moves every column through ~log^2 N stages) —
+    keep the column count minimal.
     """
     s = jax.lax.sort((key,) + cols, num_keys=1, is_stable=False)
-    return s[1:]
+    return s
 
 
 def _sort_payload_fwd(key, *cols):
     n = key.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     s = jax.lax.sort((key, iota) + cols, num_keys=1, is_stable=False)
-    return s[2:], s[1]  # residual: the permutation
+    return (s[0],) + s[2:], s[1]  # residual: the permutation
 
 
 def _sort_payload_bwd(perm, cts):
     # rows return to their original positions when sorted by perm ascending
     restored = jax.lax.sort((perm,) + tuple(cts), num_keys=1,
                             is_stable=False)
-    return (jnp.zeros(perm.shape, jnp.float32),) + tuple(restored[1:])
+    return tuple(restored[1:])
 
 
 sort_payload.defvjp(_sort_payload_fwd, _sort_payload_bwd)
+
+# Finite "invalid" depth sentinel: sorts after every real depth, and a
+# zero compositing weight times it stays zero (jnp.inf would make
+# 0 * inf = NaN in the depth channel).
+_INVALID_DEPTH = 1e30
 
 
 def prepare_packed_splats(
@@ -177,7 +188,8 @@ def prepare_packed_splats(
     proj = project_gaussians(xyz, cov3d, R, t, fx, fy, cx, cy, width, height)
     log_op = jnp.log(jnp.maximum(gaussians.get_opacity()[:, 0], 1e-12))
 
-    key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    key = jnp.where(proj.valid, proj.depth, _INVALID_DEPTH)
+    lo_m = jnp.where(proj.valid, log_op, -jnp.inf)
     s = sort_payload(
         key,
         proj.mean2d[:, 0],
@@ -185,16 +197,15 @@ def prepare_packed_splats(
         proj.conic[:, 0],
         proj.conic[:, 1],
         proj.conic[:, 2],
-        log_op,
+        lo_m,
         colors[:, 0],
         colors[:, 1],
         colors[:, 2],
-        proj.depth,
-        proj.valid.astype(jnp.float32),
     )
-    lo_s = jnp.where(s[10] > 0.5, s[5], -jnp.inf)
+    # column 9 (depth) is the sorted key itself: invalid rows carry the
+    # finite sentinel, which every compositing weight multiplies by zero
     packed = jnp.stack(
-        [s[0], s[1], s[2], s[3], s[4], lo_s, s[6], s[7], s[8], s[9]],
+        [s[1], s[2], s[3], s[4], s[5], s[6], s[7], s[8], s[9], s[0]],
         axis=1,
     )
     return packed, proj

@@ -109,14 +109,18 @@ def main():
         # the sort payload and the SH/color math
         return jnp.sum(packed) * 1e-30
 
+    def _all_leaves(g):
+        # consume EVERY gradient leaf: summing one leaf lets XLA DCE the
+        # other params' backward paths (measured 3.6 ms of hidden work)
+        return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g)) * 1e-30
+
     def l1_grad(p):
         def f(pp):
             img = render(pp, cam, pose=pp.get_pose(0),
                          backend="pallas").render
             return l1_loss(img, gt)
 
-        g = jax.grad(f)(p)
-        return jnp.sum(g.xyz) * 1e-30
+        return _all_leaves(jax.grad(f)(p))
 
     def loss_grad(p):
         def f(pp):
@@ -124,11 +128,41 @@ def main():
                          backend="pallas").render
             return 0.8 * l1_loss(img, gt) + 0.2 * (1.0 - ssim(img, gt))
 
-        g = jax.grad(f)(p)
-        return jnp.sum(g.xyz) * 1e-30
+        return _all_leaves(jax.grad(f)(p))
+
+    def sort_grad(p):
+        # the depth-sort front-end in isolation: sort_payload fwd + one-sort
+        # bwd at the production payload width (key + 9 columns)
+        from instantsplat_tpu.render.driver import sort_payload
+
+        def f(pp):
+            c = [pp.xyz[:, i % 3] * (1.0 + 0.01 * i) for i in range(9)]
+            s = sort_payload(pp.xyz[:, 2], *c)
+            return sum(jnp.sum(x) for x in s)
+
+        return jax.grad(f)(p).xyz.sum() * 1e-30
+
+    def kernel_grad(p):
+        # compositing kernel fwd+bwd only: stop-grad front-end, grad w.r.t.
+        # the packed splat array through the pallas custom_vjp
+        from instantsplat_tpu.ops import rasterize_pallas
+
+        packed, _ = prepare_packed_splats(
+            p, p.get_pose(0), cam.fx, cam.fy, cam.cx, cam.cy,
+            jnp.float32(1.0), 3, H, W)
+        packed = jax.lax.stop_gradient(packed)
+
+        def f(pk):
+            out = rasterize_pallas.composite_tiles_packed(
+                pk, height=H, width=W, bg=jnp.zeros(3))
+            return jnp.sum(out.rgb)
+
+        return jnp.sum(jax.grad(f)(packed)) * 1e-30
 
     print(f"front-end fwd:   {timeit(scan_block(frontend_only), params):7.2f} ms")
+    print(f"sort fwd+bwd:    {timeit(scan_block(sort_grad), params):7.2f} ms")
     print(f"render fwd:      {timeit(scan_block(fwd_only), params):7.2f} ms")
+    print(f"kernel fwd+bwd:  {timeit(scan_block(kernel_grad), params):7.2f} ms")
     print(f"L1 fwd+bwd:      {timeit(scan_block(l1_grad), params):7.2f} ms")
     print(f"loss fwd+bwd:    {timeit(scan_block(loss_grad), params):7.2f} ms")
 
