@@ -126,3 +126,53 @@ def test_pallas_backend_matches_oracle_driver_level():
         scale = max(np.abs(o).max(), 1e-6)
         np.testing.assert_allclose(p / scale, o / scale, atol=2e-4,
                                    err_msg=f"driver grad mismatch: {name}")
+
+
+def test_sort_payload_matches_stock_sort_and_vjp():
+    """driver.sort_payload: fwd == lax.sort; bwd (one inverse sort) ==
+    the stock lax.sort VJP (per-column scatter-adds)."""
+    from instantsplat_tpu.render.driver import sort_payload
+
+    rng = np.random.default_rng(3)
+    n = 257
+    key = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    cols = tuple(
+        jnp.asarray(rng.standard_normal(n), jnp.float32) for _ in range(4))
+
+    def custom(key, *cols):
+        s = sort_payload(key, *cols)
+        return sum(jnp.sum(jnp.tanh(x) * (i + 1.0)) for i, x in enumerate(s))
+
+    def stock(key, *cols):
+        s = jax.lax.sort((key,) + cols, num_keys=1, is_stable=False)
+        return sum(jnp.sum(jnp.tanh(x) * (i + 1.0)) for i, x in enumerate(s))
+
+    np.testing.assert_allclose(custom(key, *cols), stock(key, *cols),
+                               rtol=1e-6)
+    g_c = jax.grad(custom, argnums=(0, 1, 2, 3, 4))(key, *cols)
+    g_s = jax.grad(stock, argnums=(0, 1, 2, 3, 4))(key, *cols)
+    for gc, gs in zip(g_c, g_s):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gs),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_sort_payload_duplicate_keys():
+    """Equal keys: fwd stays a valid permutation of the payload and the
+    bwd inverse permutation matches the forward's actual choice (the
+    residual perm, not a re-derived one)."""
+    from instantsplat_tpu.render.driver import sort_payload
+
+    key = jnp.asarray([1.0, 0.5, 1.0, 0.5, 1.0], jnp.float32)
+    col = jnp.asarray([10.0, 20.0, 30.0, 40.0, 50.0], jnp.float32)
+
+    def f(c):
+        s = sort_payload(key, c)
+        return jnp.sum(s[1] * jnp.asarray([1.0, 2.0, 3.0, 4.0, 5.0]))
+
+    out = sort_payload(key, col)
+    assert sorted(np.asarray(out[1]).tolist()) == sorted(col.tolist())
+    # each payload element's gradient equals the weight of the slot the
+    # forward actually placed it in — a bijection, so grads are a
+    # permutation of the weights
+    g = np.asarray(jax.grad(f)(col))
+    assert sorted(g.tolist()) == [1.0, 2.0, 3.0, 4.0, 5.0]
