@@ -34,9 +34,6 @@ from instantsplat_tpu.ops import (
     rasterize_pallas,
     rasterize_pallas_binned,
 )
-from instantsplat_tpu.ops.projection import project_gaussians
-from instantsplat_tpu.utils import sh as SH
-from instantsplat_tpu.utils import transforms as T
 
 
 class RenderOut(NamedTuple):
@@ -45,6 +42,39 @@ class RenderOut(NamedTuple):
     depth: jax.Array  # [H, W]
     radii: jax.Array  # [N] screen-space 3-sigma radii (0 = culled)
     visibility: jax.Array  # [N] bool, radii > 0
+
+
+def _sorted_columns(
+    gaussians: GaussianModel,
+    pose: jax.Array,
+    fx, fy, cx, cy,
+    scale_modifier,
+    active_sh_degree: int,
+    height: int,
+    width: int,
+):
+    """Lane-major front-end + depth sort. Returns (s, cols): `s` the 10
+    sorted [N] columns (key/depth, mx, my, ca, cb, cc, log_op, r, g, b)
+    and `cols` the unsorted FrontendCols record (radius/valid reporting).
+
+    The geometry math runs on [N] columns with N on the lane axis
+    (ops/frontend.py — the structured [N, 3]/[N, 3, 3] forms forced XLA
+    layouts that made the front-end ~60% of the train step), and ONE
+    variadic sort carries every column through the comparator network
+    with a one-sort backward (sort_payload). Validity folds into the key
+    (finite sentinel -> the sorted key doubles as the depth column) and
+    into log-opacity (-inf)."""
+    from instantsplat_tpu.ops.frontend import compute_columns
+
+    cols = compute_columns(
+        gaussians, pose, fx, fy, cx, cy, scale_modifier, active_sh_degree,
+        height, width,
+    )
+    key = jnp.where(cols.valid, cols.depth, _INVALID_DEPTH)
+    lo_m = jnp.where(cols.valid, cols.log_op, -jnp.inf)
+    s = sort_payload(key, cols.mx, cols.my, cols.ca, cols.cb, cols.cc,
+                     lo_m, cols.r, cols.g, cols.b)
+    return s, cols
 
 
 def prepare_sorted_splats(
@@ -61,43 +91,12 @@ def prepare_sorted_splats(
 ):
     """Shared geometry front-end: activate, transform by pose, SH-shade,
     project, depth-sort. Returns (mean2d, conic, log_opacity, colors, depth,
-    valid) all sorted front-to-back, plus the projection record in original
-    order. Used by both the single-chip driver and the pixel-sharded path
-    (instantsplat_tpu.parallel)."""
-    R = T.quat_to_rotmat(pose[:4])
-    t = pose[4:7]
-
-    cov3d = gaussians.get_covariance(scale_modifier)
-    xyz = gaussians.xyz
-
-    # Camera-frame view directions for SH (reference quirk, see module doc).
-    t_view = xyz @ R.T + t
-    dirs = t_view / jnp.maximum(jnp.linalg.norm(t_view, axis=-1, keepdims=True), 1e-8)
-    shs = gaussians.get_features()
-    colors = jnp.maximum(SH.eval_sh(active_sh_degree, shs, dirs) + 0.5, 0.0)
-
-    proj = project_gaussians(xyz, cov3d, R, t, fx, fy, cx, cy, width, height)
-
-    log_op = jnp.log(jnp.maximum(gaussians.get_opacity()[:, 0], 1e-12))
-    # One variadic sort carries every column through the comparator network
-    # (sort_payload), replacing argsort + six row gathers forward and —
-    # the bigger win — six scatter-adds backward with one inverse sort.
-    # Validity is folded into the key (invalid -> finite sentinel, so the
-    # sorted key doubles as the depth column) and into log_opacity
-    # (invalid -> -inf): no separate depth/valid payload columns.
-    key = jnp.where(proj.valid, proj.depth, _INVALID_DEPTH)
-    lo_m = jnp.where(proj.valid, log_op, -jnp.inf)
-    s = sort_payload(
-        key,
-        proj.mean2d[:, 0],
-        proj.mean2d[:, 1],
-        proj.conic[:, 0],
-        proj.conic[:, 1],
-        proj.conic[:, 2],
-        lo_m,
-        colors[:, 0],
-        colors[:, 1],
-        colors[:, 2],
+    valid) all sorted front-to-back, plus the per-Gaussian radius/valid
+    record in original order. Used by the oracle/binned backends and the
+    pixel-sharded path (instantsplat_tpu.parallel)."""
+    s, cols = _sorted_columns(
+        gaussians, pose, fx, fy, cx, cy, scale_modifier, active_sh_degree,
+        height, width,
     )
     sorted_splats = (
         jnp.stack([s[1], s[2]], axis=1),
@@ -107,7 +106,7 @@ def prepare_sorted_splats(
         s[0],
         s[0] < _INVALID_DEPTH,
     )
-    return sorted_splats, proj
+    return sorted_splats, cols
 
 
 @jax.custom_vjp
@@ -166,41 +165,15 @@ def prepare_packed_splats(
 ):
     """Geometry front-end for the packed Pallas path.
 
-    Same math as `prepare_sorted_splats`, but the depth sort is ONE variadic
-    `lax.sort` that carries every splat column through the comparator network
-    and the result is column-stacked straight into the kernel's packed
-    [N, 10] layout (rasterize_pallas._falloff column order). On v5e this
-    replaces an argsort + six row gathers (XLA row gathers are
-    bandwidth-poor: measured ~2.6 ms of the 6.0 ms front-end at N=100k)
-    with ~0.4 ms of extra sort payload.
+    Same math as `prepare_sorted_splats` (the shared lane-major column
+    front-end + one variadic sort), column-stacked straight into the
+    kernel's packed [N, 10] layout (rasterize_pallas._falloff column
+    order) — the stack is the only structured array the whole front-end
+    materializes.
     """
-    R = T.quat_to_rotmat(pose[:4])
-    t = pose[4:7]
-
-    cov3d = gaussians.get_covariance(scale_modifier)
-    xyz = gaussians.xyz
-
-    t_view = xyz @ R.T + t
-    dirs = t_view / jnp.maximum(jnp.linalg.norm(t_view, axis=-1, keepdims=True), 1e-8)
-    shs = gaussians.get_features()
-    colors = jnp.maximum(SH.eval_sh(active_sh_degree, shs, dirs) + 0.5, 0.0)
-
-    proj = project_gaussians(xyz, cov3d, R, t, fx, fy, cx, cy, width, height)
-    log_op = jnp.log(jnp.maximum(gaussians.get_opacity()[:, 0], 1e-12))
-
-    key = jnp.where(proj.valid, proj.depth, _INVALID_DEPTH)
-    lo_m = jnp.where(proj.valid, log_op, -jnp.inf)
-    s = sort_payload(
-        key,
-        proj.mean2d[:, 0],
-        proj.mean2d[:, 1],
-        proj.conic[:, 0],
-        proj.conic[:, 1],
-        proj.conic[:, 2],
-        lo_m,
-        colors[:, 0],
-        colors[:, 1],
-        colors[:, 2],
+    s, cols = _sorted_columns(
+        gaussians, pose, fx, fy, cx, cy, scale_modifier, active_sh_degree,
+        height, width,
     )
     # column 9 (depth) is the sorted key itself: invalid rows carry the
     # finite sentinel, which every compositing weight multiplies by zero
@@ -208,7 +181,7 @@ def prepare_packed_splats(
         [s[1], s[2], s[3], s[4], s[5], s[6], s[7], s[8], s[9], s[0]],
         axis=1,
     )
-    return packed, proj
+    return packed, cols
 
 
 @functools.partial(
