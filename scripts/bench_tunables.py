@@ -95,12 +95,15 @@ def main():
     base = (rp.STRIP_ROWS, rp.CHUNKS_PER_STEP, rp.BLOCK_ROWS)
     configs = [
         base,
-        (384, 8, 4),   # single strip at bench height
-        (512, 8, 4),
-        (384, 16, 4),  # fewer grid steps
-        (384, 4, 4),
-        (384, 8, 8),   # taller pixel blocks (coarser bitmap, fewer rbs)
+        # At 5.6 ms/step the ~6 us/grid-step all-skip DMA floor matters:
+        # fewer, bigger steps (CPS up) + finer termination granularity
+        # (BLOCK_ROWS down) are the remaining knobs.
         (256, 16, 4),
+        (256, 32, 4),
+        (256, 8, 2),
+        (256, 16, 2),
+        (384, 16, 4),
+        (384, 8, 4),
     ]
     seen = set()
     for strip, cps, br in configs:
