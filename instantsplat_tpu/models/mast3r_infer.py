@@ -210,15 +210,25 @@ def make_pointmap_fn(ckpt_path: str, batch_size: int = 8,
                      dtype=None):
     """-> pointmap_fn(images, pairs) for pipelines.init_geo_pipeline."""
     cfg = cfg or mast3r.MASt3RConfig()
-    if not ckpt_path:
+    if ckpt_path.startswith("random"):
+        # Benchmark/dev path: the full production architecture with random
+        # weights ("random" or "random:SEED"). Geometry is garbage but the
+        # compute is the production compute — scripts/bench_e2e.py uses
+        # this to measure pipeline wall times in an environment that ships
+        # no pretrained checkpoints.
+        seed = int(ckpt_path.split(":", 1)[1]) if ":" in ckpt_path else 0
+        params = mast3r.init_params(cfg, seed=seed)
+    elif not ckpt_path:
         raise RuntimeError(
             "init_geo needs a MASt3R checkpoint (--ckpt_path). This "
             "environment ships no pretrained weights; point --ckpt_path at "
             "MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric.pth (converted "
-            "on load), or initialize the scene with an externally produced "
-            "sparse_{n} directory."
+            "on load), pass --ckpt_path random for a random-weight "
+            "benchmarking run, or initialize the scene with an externally "
+            "produced sparse_{n} directory."
         )
-    params = mast3r.load_checkpoint(ckpt_path, cfg)
+    else:
+        params = mast3r.load_checkpoint(ckpt_path, cfg)
 
     def fn(images, pairs):
         return infer_pairs(params, cfg, images, pairs,

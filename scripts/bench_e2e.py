@@ -90,7 +90,7 @@ def run_once(root: Path, iterations: int, tag: str) -> bool:
     ret = subprocess.run(
         [sys.executable, str(Path(__file__).parent / "run_eval.py"),
          "--data", str(root / "data"), "--out", str(out),
-         "--scenes", "plane", "--n_views", "3",
+         "--scenes", "plane", "--n_views", "3", "--ckpt_path", "random",
          "--iterations", str(iterations)],
         cwd=Path(__file__).resolve().parent.parent)
     total = time.time() - t0

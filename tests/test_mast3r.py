@@ -350,3 +350,23 @@ def test_infer_pairs_uniform_list_input(tiny_model):
     a = infer_pairs(params, cfg, imgs_arr, pairs)
     b = infer_pairs(params, cfg, list(imgs_arr), pairs)
     np.testing.assert_allclose(a.pred_i, b.pred_i, atol=0)
+
+
+def test_make_pointmap_fn_random_weights(tiny_model):
+    """--ckpt_path random[:SEED] builds the production pointmap_fn with
+    randomly initialized weights (the bench_e2e.py path in an environment
+    without pretrained checkpoints); seeds are reproducible."""
+    _, cfg = tiny_model
+    from instantsplat_tpu.models.mast3r_infer import make_pointmap_fn
+
+    fn = make_pointmap_fn("random:7", batch_size=2, cfg=cfg)
+    fn2 = make_pointmap_fn("random:7", batch_size=2, cfg=cfg)
+    imgs = np.random.default_rng(0).random((2, 32, 48, 3)).astype(np.float32)
+    pairs = [(0, 1), (1, 0)]
+    r = fn(imgs, pairs)
+    r2 = fn2(imgs, pairs)
+    assert np.isfinite(np.asarray(r.pred_i)).all()
+    np.testing.assert_array_equal(np.asarray(r.pred_i),
+                                  np.asarray(r2.pred_i))
+    with pytest.raises(RuntimeError, match="ckpt_path"):
+        make_pointmap_fn("", cfg=cfg)
