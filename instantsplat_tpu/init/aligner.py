@@ -449,13 +449,11 @@ class GlobalAligner:
                          im_focals=not self.focals_frozen)
         beta1, beta2, eps = 0.9, 0.9, 1e-8
 
-        @functools.partial(jax.jit, static_argnames=("niter",))
-        def run(params, buffers, niter: int):
-            m = jax.tree.map(jnp.zeros_like, params)
-            v = jax.tree.map(jnp.zeros_like, params)
-
-            def step(it, carry):
+        @functools.partial(jax.jit, static_argnames=("block",))
+        def run_block(start, params, m, v, buffers, block: int):
+            def step(k, carry):
                 params, m, v = carry
+                it = start + k
                 t = it.astype(jnp.float32) / niter
                 if schedule == "cosine":
                     cur_lr = lr_min + (lr - lr_min) * (
@@ -477,11 +475,20 @@ class GlobalAligner:
                     new_m[k], new_v[k] = mk, vk
                 return new_p, new_m, new_v
 
-            params, m, v = jax.lax.fori_loop(
-                0, niter, step, (params, m, v))
-            return params, loss_fn(params, buffers)
+            return jax.lax.fori_loop(0, block, step, (params, m, v))
 
-        params, final_loss = run(params, buffers, niter)
+        # The loop runs as bounded fori_loop dispatches (identical math to
+        # one fused loop; the runtime may enforce a per-execution deadline
+        # — ~60 s on the axon dev worker — and E x H x W work makes one
+        # fused 300-iteration dispatch arbitrarily slow on large scenes).
+        block = max(d for d in range(1, min(50, niter) + 1)
+                    if niter % d == 0)
+        m = jax.tree.map(jnp.zeros_like, params)
+        v = jax.tree.map(jnp.zeros_like, params)
+        for s in range(0, niter, block):
+            params, m, v = run_block(jnp.int32(s), params, m, v, buffers,
+                                     block)
+        final_loss = jax.jit(loss_fn)(params, buffers)
         self.params = {k: np.asarray(val) for k, val in params.items()}
         return float(final_loss)
 

@@ -64,12 +64,16 @@ def render_view_set(
 
 def make_pose_refiner(params, camera: Camera, backend="pallas",
                       num_iter=500, lr_t=3e-3, lr_q=1e-3, lr_min=1e-4,
-                      weight_decay=1e-4, bg=None):
+                      weight_decay=1e-4, bg=None, block=50):
     """Jitted per-view test-time pose refinement (render.py:116-165).
 
     Returns fn(pose7, gt) -> (best_pose7, best_loss): 500 Adam steps on the
     (quat, trans) split with cosine-annealed LRs, masked-L1 objective, and
-    an argmin-loss pose latch — all inside one XLA fori_loop.
+    an argmin-loss pose latch. The loop compiles as `block`-iteration
+    fori_loop dispatches (one compile, num_iter/block calls): identical
+    math to a single fused loop, but one dispatch stays bounded — large
+    scenes make 500 fused iterations arbitrarily slow, and the runtime may
+    enforce an execution deadline (~60 s on the axon dev worker).
     """
     import jax
     import jax.numpy as jnp
@@ -77,6 +81,10 @@ def make_pose_refiner(params, camera: Camera, backend="pallas",
     if bg is None:
         bg = jnp.zeros(3)
     beta1, beta2, eps = 0.9, 0.999, 1e-8
+    # largest divisor of num_iter <= block: every dispatch runs exactly
+    # `block` iterations (no remainder program to compile)
+    block = max(d for d in range(1, max(1, min(block, num_iter)) + 1)
+                if num_iter % d == 0)
 
     def loss_fn(pose, gt):
         out = render(params, camera, pose=pose, bg=bg, backend=backend)
@@ -84,10 +92,10 @@ def make_pose_refiner(params, camera: Camera, backend="pallas",
         return masked_l1_loss(out.render, gt, mask)
 
     @jax.jit
-    def refine(pose0, gt):
-        def step(it, carry):
+    def refine_block(start, carry, gt):
+        def step(k, carry):
             pose, m, v, best_pose, best_loss = carry
-            t = it.astype(jnp.float32)
+            t = (start + k).astype(jnp.float32)
             cos = (1 + jnp.cos(jnp.pi * t / num_iter)) / 2
             cur_t = lr_min + (lr_t - lr_min) * cos
             cur_q = lr_min + (lr_q - lr_min) * cos
@@ -106,11 +114,14 @@ def make_pose_refiner(params, camera: Camera, backend="pallas",
             best_loss = jnp.minimum(loss, best_loss)
             return pose - upd, m, v, best_pose, best_loss
 
-        init = (pose0, jnp.zeros_like(pose0), jnp.zeros_like(pose0),
-                pose0, jnp.inf)
-        _, _, _, best_pose, best_loss = jax.lax.fori_loop(
-            0, num_iter, step, init)
-        return best_pose, best_loss
+        return jax.lax.fori_loop(0, block, step, carry)
+
+    def refine(pose0, gt):
+        carry = (pose0, jnp.zeros_like(pose0), jnp.zeros_like(pose0),
+                 pose0, jnp.inf)
+        for s in range(0, num_iter, block):
+            carry = refine_block(jnp.int32(s), carry, gt)
+        return carry[3], carry[4]
 
     return refine
 

@@ -54,6 +54,13 @@ class TrainerConfig:
     # removes per-iteration host round-trips). Disabled automatically when a
     # live viewer needs per-iteration polling.
     scan: bool = True
+    # Upper bound on one scanned dispatch's WALL time. Large scenes make a
+    # log_every-iteration block arbitrarily slow, and the runtime may
+    # enforce an execution deadline (the axon dev worker aborts executions
+    # at ~60 s, surfacing as "TPU worker crashed"); the trainer times a
+    # warm probe block and caps subsequent blocks to divisors of log_every
+    # that fit this budget. Override: INSTANTSPLAT_DISPATCH_BUDGET_S.
+    dispatch_budget_s: float = 20.0
     # When set, wrap the second (warm, post-compile) training block in a
     # jax.profiler trace written to this directory (SURVEY.md §5;
     # utils/profiling.py). No-op on backends without profiler support.
@@ -224,10 +231,25 @@ def train_joint(
 
     use_scan = trainer_cfg.scan and viewer is None
     if use_scan:
+        import os as _os
+
         block_fn = make_train_scan(
             optimizer, stacked, bg, opt_cfg.lambda_dssim,
             trainer_cfg.backend, trainer_cfg.chunk,
         )
+        budget = float(_os.environ.get("INSTANTSPLAT_DISPATCH_BUDGET_S",
+                                       trainer_cfg.dispatch_budget_s))
+        # Dispatch-duration governor: the first two blocks run at a small
+        # probe size (the first pays the compile; the second's wall time is
+        # a clean per-iteration estimate), then the steady block size is
+        # the largest divisor of log_every that fits the budget — divisors
+        # keep block boundaries aligned with log boundaries so only one
+        # extra scan length ever compiles.
+        probe = max(1, min(10, trainer_cfg.log_every))
+        block_cap: Optional[int] = (
+            trainer_cfg.log_every if budget <= 0 else None)
+        warm_probed = budget <= 0
+
         it = first_iter + 1
         block_idx = 0
         while it <= trainer_cfg.iterations:
@@ -241,19 +263,33 @@ def train_joint(
             )
             if it // interval < params.max_sh_degree:
                 end = min(end, (it // interval + 1) * interval - 1)
+            end = min(end, it + (block_cap or probe) - 1)
             view_ids = np.array([next_view() for _ in range(it, end + 1)],
                                 np.int32)
             iters = np.arange(it, end + 1, dtype=np.int32)
             # trace block 1 (block 0 pays the compile) when profiling is on
             do_trace = trainer_cfg.profile_dir is not None and block_idx == 1
+            t_blk = time.time()
             with profiling.profile_trace(trainer_cfg.profile_dir,
                                          enabled=do_trace):
                 params, opt_state, metrics = block_fn(
                     params, opt_state, jnp.asarray(view_ids),
                     jnp.asarray(iters), active_sh,
                 )
-                if do_trace:
+                if do_trace or not warm_probed:
                     jax.block_until_ready(metrics)
+            if block_cap is None and block_idx >= 1:
+                # block 0 paid the compile; this one is a warm measurement
+                per_iter = (time.time() - t_blk) / max(1, end - it + 1)
+                fitting = [d for d in range(1, trainer_cfg.log_every + 1)
+                           if trainer_cfg.log_every % d == 0
+                           and d * per_iter <= budget]
+                block_cap = max(fitting) if fitting else 1
+                warm_probed = True
+                if block_cap < trainer_cfg.log_every:
+                    print(f"[train] dispatch governor: {per_iter * 1e3:.0f} "
+                          f"ms/iter -> scan blocks capped at {block_cap} "
+                          f"iterations (budget {budget:.0f}s)", flush=True)
             block_idx += 1
             if end % trainer_cfg.log_every == 0 or end == trainer_cfg.iterations:
                 log(end, metrics)
