@@ -50,6 +50,11 @@ def main(argv=None):
                              "converted on load; .npz = this trainer's)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--num_workers", type=int, default=8,
+                        help="data-loading threads (the reference torch "
+                        "DataLoader num_workers, dust3r/training.py:74); "
+                        "also enables 2-deep background batch prefetch. "
+                        "0/1 = sequential in-line loading")
     parser.add_argument("--accum_iter", type=int, default=1)
     parser.add_argument("--steps", type=int, default=10_000,
                         help="optimizer steps (epoch x loader-len in the "
@@ -140,15 +145,25 @@ def main(argv=None):
 
     def batches():
         it = dataset.batches(args.batch_size, seed=args.seed,
-                             n_epochs=args.epochs)
-        if args.accum_iter == 1:
-            yield from it
-            return
-        while True:
-            group = [b for _, b in zip(range(args.accum_iter), it)]
-            if len(group) < args.accum_iter:
-                return
-            yield stack_microbatches(group)
+                             n_epochs=args.epochs,
+                             num_workers=args.num_workers)
+        if args.accum_iter > 1:
+            def grouped(inner):
+                while True:
+                    group = [b for _, b in zip(range(args.accum_iter),
+                                               inner)]
+                    if len(group) < args.accum_iter:
+                        return
+                    yield stack_microbatches(group)
+
+            it = grouped(it)
+        if args.num_workers and args.num_workers > 1:
+            # assemble ahead while the train step runs (DataLoader
+            # worker pipelining)
+            from instantsplat_tpu.train_dust3r.datasets import prefetch_iter
+
+            it = prefetch_iter(it, depth=2)
+        yield from it
 
     eval_batches = None
     if args.test_dataset:

@@ -352,11 +352,33 @@ class PairViewDataset:
                              resolution=resolution, aug_crop=self.aug_crop,
                              transform=self.transform)
 
-    def batches(self, batch_size, seed=0, n_epochs=1, shard=None):
+    def batches(self, batch_size, seed=0, n_epochs=1, shard=None,
+                num_workers: int = 0):
         """Yield jnp-ready batch dicts; `shard=(rank, world)` splits the
-        pair list across hosts (the DistributedSampler role)."""
+        pair list across hosts (the DistributedSampler role).
+
+        num_workers > 1 fetches the batch's views with a thread pool (the
+        torch DataLoader num_workers role, dust3r/training.py:74,253-264
+        — the hot per-view work is image/EXR decode, which releases the
+        GIL in the native codec). Each view gets its own child generator
+        spawned from the batch rng, so results are deterministic per
+        (seed, num_workers>1) but the augmentation stream differs from
+        the sequential num_workers<=1 path."""
         import jax.numpy as jnp
 
+        pool = None
+        if num_workers and num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=num_workers)
+        try:
+            yield from self._batches_impl(batch_size, seed, n_epochs,
+                                          shard, pool, jnp)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
+
+    def _batches_impl(self, batch_size, seed, n_epochs, shard, pool, jnp):
         for epoch in range(n_epochs):
             self.set_epoch(epoch)
             rng = np.random.default_rng(seed + epoch)
@@ -365,7 +387,6 @@ class PairViewDataset:
                 rank, world = shard
                 order = order[rank::world]
             for s in range(0, len(order) - batch_size + 1, batch_size):
-                v1s, v2s = [], []
                 # one resolution per batch, shared by every view in it
                 # (BatchedRandomSampler pool constraint,
                 # base/batched_sampler.py:11-18)
@@ -373,10 +394,16 @@ class PairViewDataset:
                 if self.resolutions is not None:
                     res = self.resolutions[
                         int(rng.integers(len(self.resolutions)))]
-                for k in order[s:s + batch_size]:
-                    v1, v2 = self._get_views(int(k), rng, res)
-                    v1s.append(v1)
-                    v2s.append(v2)
+                idxs = [int(k) for k in order[s:s + batch_size]]
+                if pool is not None:
+                    child = rng.spawn(len(idxs))
+                    views = list(pool.map(
+                        lambda kr: self._get_views(kr[0], kr[1], res),
+                        zip(idxs, child)))
+                else:
+                    views = [self._get_views(k, rng, res) for k in idxs]
+                v1s = [v[0] for v in views]
+                v2s = [v[1] for v in views]
 
                 def stack(vs):
                     return dict(
@@ -635,3 +662,33 @@ def write_synthetic_scene(root, name="scene0", n_views=6, h=32, w=48,
              K=np.stack([v["K"] for v in views]),
              names=np.array(names))
     return sdir
+
+
+def prefetch_iter(gen, depth: int = 2):
+    """Background-thread batch prefetcher (the torch DataLoader pipelining
+    role): assembles up to `depth` batches ahead while the consumer's train
+    step runs. Order-preserving and exception-transparent — an exception in
+    the producer re-raises at the consumer's next pull."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    _END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
