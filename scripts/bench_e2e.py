@@ -48,6 +48,31 @@ def _texture(x, y):
     return np.stack([r, g, b], -1)
 
 
+def scene_geometry():
+    """Per-view (c2w, world points, camera-frame points, image array)."""
+    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+    dirs = np.stack([(gx - W / 2) / FOCAL, (gy - H / 2) / FOCAL,
+                     np.ones_like(gx)], -1)
+    c2ws, pts_world, pts_cam, images = [], [], [], []
+    for v in range(N_IMAGES):
+        ang = 0.05 * (v - (N_IMAGES - 1) / 2)
+        R = _rot_y(ang)
+        center = np.array([1.5 * np.sin(ang), 0.02 * v,
+                           -1.5 * (1 - np.cos(ang))])
+        m = np.eye(4)
+        m[:3, :3] = R
+        m[:3, 3] = center
+        c2ws.append(m)
+        d_world = dirs @ R.T
+        lam = (3.0 - center[2]) / d_world[..., 2]
+        pw = center + lam[..., None] * d_world
+        pts_world.append(pw)
+        pts_cam.append((pw - center) @ R)
+        images.append(_texture(pw[..., 0], pw[..., 1]))
+    return (np.stack(c2ws), np.stack(pts_world), np.stack(pts_cam),
+            np.stack(images))
+
+
 def make_scene(scene_dir: Path):
     """14 posed views of a textured plane + GT COLMAP model (sparse/0)."""
     from PIL import Image
@@ -56,43 +81,73 @@ def make_scene(scene_dir: Path):
 
     img_dir = scene_dir / "images"
     img_dir.mkdir(parents=True, exist_ok=True)
-    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
-    dirs = np.stack([(gx - W / 2) / FOCAL, (gy - H / 2) / FOCAL,
-                     np.ones_like(gx)], -1)
+    c2ws, _, _, images = scene_geometry()
     cams = {1: colmap.ColmapCamera(1, "PINHOLE", W, H,
                                    np.array([FOCAL, FOCAL, W / 2, H / 2]))}
     ims = {}
     for v in range(N_IMAGES):
-        ang = 0.05 * (v - (N_IMAGES - 1) / 2)
-        R = _rot_y(ang)
-        center = np.array([1.5 * np.sin(ang), 0.02 * v,
-                           -1.5 * (1 - np.cos(ang))])
-        d_world = dirs @ R.T
-        lam = (3.0 - center[2]) / d_world[..., 2]
-        pw = center + lam[..., None] * d_world
-        img = (np.clip(_texture(pw[..., 0], pw[..., 1]), 0, 1)
-               * 255).astype(np.uint8)
+        img = (np.clip(images[v], 0, 1) * 255).astype(np.uint8)
         name = f"{v:03d}.png"
         Image.fromarray(img).save(img_dir / name)
-        w2c_R = R.T
-        w2c_t = -R.T @ center
+        w2c = np.linalg.inv(c2ws[v])
         ims[v + 1] = colmap.ColmapImage(
-            v + 1, colmap.rotmat_to_qvec(w2c_R), w2c_t, 1, name)
+            v + 1, colmap.rotmat_to_qvec(w2c[:3, :3]), w2c[:3, 3], 1, name)
     gt = scene_dir / "sparse" / "0"
     gt.mkdir(parents=True, exist_ok=True)
     colmap.write_cameras_text(cams, gt / "cameras.txt")
     colmap.write_images_text(ims, gt / "images.txt")
 
 
-def run_once(root: Path, iterations: int, tag: str) -> bool:
+def init_oracle(scene_dir: Path, model_dir: Path, n_views=3):
+    """Stage 1 with EXACT pointmaps (the e2e tests' oracle backend at the
+    production resolution): produces a realistic converged sparse_{n}
+    scene so stages 2-5 measure the representative workload, with stage-1
+    wall time reported separately (its MASt3R forward is random-weight in
+    this environment either way)."""
+    import time as _t
+
+    from instantsplat_tpu.data import images as image_io, scene as scene_io
+    from instantsplat_tpu.init.aligner import PairPrediction
+    from instantsplat_tpu.pipelines.init_geo_pipeline import run_init_geo
+
+    c2ws, pts_world, pts_cam, _ = scene_geometry()
+    files, _sfx = image_io.sorted_image_files(scene_dir / "images")
+    _, _, train_idx, _ = scene_io.split_train_test(files, n_views)
+    rng = np.random.default_rng(0)
+
+    def fn(imgs, pairs):
+        pred_i = np.stack(
+            [pts_cam[train_idx[i]] for i, j in pairs]).astype(np.float32)
+        pred_j = np.stack([
+            (pts_world[train_idx[j]] - c2ws[train_idx[i], :3, 3])
+            @ c2ws[train_idx[i], :3, :3]
+            for i, j in pairs
+        ]).astype(np.float32)
+        conf = 1.0 + np.exp(
+            rng.random((len(pairs), H, W)).astype(np.float32))
+        return PairPrediction(edges=list(pairs), pred_i=pred_i,
+                              pred_j=pred_j, conf_i=conf,
+                              conf_j=conf * 1.05)
+
+    t0 = _t.time()
+    run_init_geo(scene_dir, model_dir, fn, n_views=n_views,
+                 focal_avg=True, co_vis_dsp=True, conf_aware_ranking=True,
+                 save_all_pts=True)
+    print(f"[oracle init_geo] {_t.time() - t0:.0f}s", flush=True)
+
+
+def run_once(root: Path, iterations: int, tag: str,
+             oracle: bool = False) -> bool:
     out = root / f"out_{tag}"
+    cmd = [sys.executable, str(Path(__file__).parent / "run_eval.py"),
+           "--data", str(root / "data"), "--out", str(out),
+           "--scenes", "plane", "--n_views", "3", "--ckpt_path", "random",
+           "--iterations", str(iterations)]
+    if oracle:
+        init_oracle(root / "data" / "plane", out / "plane" / "3_views")
+        cmd.append("--skip_init")
     t0 = time.time()
-    ret = subprocess.run(
-        [sys.executable, str(Path(__file__).parent / "run_eval.py"),
-         "--data", str(root / "data"), "--out", str(out),
-         "--scenes", "plane", "--n_views", "3", "--ckpt_path", "random",
-         "--iterations", str(iterations)],
-        cwd=Path(__file__).resolve().parent.parent)
+    ret = subprocess.run(cmd, cwd=Path(__file__).resolve().parent.parent)
     total = time.time() - t0
     ok = ret.returncode == 0
     print(f"\n== {tag}: total wall {total:.0f}s "
@@ -112,6 +167,10 @@ def main():
     ap.add_argument("--iterations", type=int, default=1000)
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--tag", default="")
+    ap.add_argument("--oracle", action="store_true",
+                    help="stage 1 with exact oracle pointmaps (realistic "
+                    "converged scene for stages 2-5; random-weight MASt3R "
+                    "otherwise)")
     args = ap.parse_args()
     root = Path(args.root)
     scene_dir = root / "data" / "plane"
@@ -120,7 +179,7 @@ def main():
         print(f"scene written under {scene_dir}")
     for i in range(args.runs):
         tag = args.tag or f"run{int(time.time())}_{i}"
-        if not run_once(root, args.iterations, tag):
+        if not run_once(root, args.iterations, tag, oracle=args.oracle):
             sys.exit(1)
 
 
