@@ -261,3 +261,30 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(p2.xyz, params.xyz)
     np.testing.assert_allclose(s2.v.opacity, state.v.opacity)
     assert int(s2.step) == 1
+
+
+def test_dispatch_governor_caps_blocks(monkeypatch):
+    """A tiny dispatch budget forces the scan-block governor down to
+    1-iteration blocks; the trajectory matches the unconstrained run
+    (identical per-iteration math, only dispatch boundaries move)."""
+    gt_model, cams, true_poses = build_synthetic(n_gauss=100, size=24,
+                                                 seed=5)
+    init = GaussianModel.create_from_pcd(
+        gt_model.xyz, jnp.clip(gt_model.features_dc[:, 0] * 0.28 + 0.5,
+                               0, 1),
+        cam_poses=true_poses, max_sh_degree=0,
+    )
+    kwargs = dict(opt_cfg=OptimizationConfig(optim_pose=True),
+                  spatial_lr_scale=1.0)
+    cfg = dict(iterations=20, chunk=64, log_every=10)
+    monkeypatch.setenv("INSTANTSPLAT_DISPATCH_BUDGET_S", "1e-9")
+    p_capped, _, h_capped = train_joint(
+        init, cams, trainer_cfg=TrainerConfig(**cfg), **kwargs)
+    monkeypatch.setenv("INSTANTSPLAT_DISPATCH_BUDGET_S", "0")  # disabled
+    p_full, _, h_full = train_joint(
+        init, cams, trainer_cfg=TrainerConfig(**cfg), **kwargs)
+    assert [it for it, _ in h_capped] == [it for it, _ in h_full]
+    for (_, mc), (_, mf) in zip(h_capped, h_full):
+        np.testing.assert_allclose(mc["loss"], mf["loss"], rtol=1e-3)
+    np.testing.assert_allclose(p_capped.cam_poses, p_full.cam_poses,
+                               rtol=1e-5, atol=1e-6)
