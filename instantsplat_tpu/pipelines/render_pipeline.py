@@ -69,22 +69,26 @@ def make_pose_refiner(params, camera: Camera, backend="pallas",
 
     Returns fn(pose7, gt) -> (best_pose7, best_loss): 500 Adam steps on the
     (quat, trans) split with cosine-annealed LRs, masked-L1 objective, and
-    an argmin-loss pose latch. The loop compiles as `block`-iteration
-    fori_loop dispatches (one compile, num_iter/block calls): identical
-    math to a single fused loop, but one dispatch stays bounded — large
-    scenes make 500 fused iterations arbitrarily slow, and the runtime may
-    enforce an execution deadline (~60 s on the axon dev worker).
+    an argmin-loss pose latch. The loop dispatches as bounded fori_loop
+    blocks with a DYNAMIC trip count (one compile for every block size):
+    identical math to a single fused loop, but one dispatch stays bounded
+    — large scenes make 500 fused iterations arbitrarily slow, and the
+    runtime may enforce an execution deadline (~60 s on the axon dev
+    worker). The first view pays two tiny probe blocks to measure warm
+    per-iteration time; the steady block size then targets
+    INSTANTSPLAT_DISPATCH_BUDGET_S (default 20 s) wall per dispatch,
+    capped at `block`.
     """
+    import os
+    import time as _time
+
     import jax
     import jax.numpy as jnp
 
     if bg is None:
         bg = jnp.zeros(3)
     beta1, beta2, eps = 0.9, 0.999, 1e-8
-    # largest divisor of num_iter <= block: every dispatch runs exactly
-    # `block` iterations (no remainder program to compile)
-    block = max(d for d in range(1, max(1, min(block, num_iter)) + 1)
-                if num_iter % d == 0)
+    budget = float(os.environ.get("INSTANTSPLAT_DISPATCH_BUDGET_S", 20.0))
 
     def loss_fn(pose, gt):
         out = render(params, camera, pose=pose, bg=bg, backend=backend)
@@ -92,7 +96,7 @@ def make_pose_refiner(params, camera: Camera, backend="pallas",
         return masked_l1_loss(out.render, gt, mask)
 
     @jax.jit
-    def refine_block(start, carry, gt):
+    def refine_block(start, n, carry, gt):
         def step(k, carry):
             pose, m, v, best_pose, best_loss = carry
             t = (start + k).astype(jnp.float32)
@@ -114,13 +118,35 @@ def make_pose_refiner(params, camera: Camera, backend="pallas",
             best_loss = jnp.minimum(loss, best_loss)
             return pose - upd, m, v, best_pose, best_loss
 
-        return jax.lax.fori_loop(0, block, step, carry)
+        # dynamic trip count: any block size reuses the one compilation
+        return jax.lax.fori_loop(0, n, step, carry)
+
+    cal = {"block": None}  # calibrated once, shared across views
 
     def refine(pose0, gt):
         carry = (pose0, jnp.zeros_like(pose0), jnp.zeros_like(pose0),
                  pose0, jnp.inf)
-        for s in range(0, num_iter, block):
-            carry = refine_block(jnp.int32(s), carry, gt)
+        done = 0
+        if cal["block"] is None and budget > 0:
+            probe = max(1, min(5, num_iter))
+            per_iter = 0.0
+            for i in range(2):  # first pays the compile; second is warm
+                n = min(probe, num_iter - done)
+                if n <= 0:
+                    break
+                t0 = _time.perf_counter()
+                carry = refine_block(jnp.int32(done), jnp.int32(n), carry,
+                                     gt)
+                jax.block_until_ready(carry[4])
+                per_iter = (_time.perf_counter() - t0) / n
+                done += n
+            cal["block"] = int(max(1, min(
+                block, budget / max(per_iter, 1e-9))))
+        cur = cal["block"] or block
+        while done < num_iter:
+            n = min(cur, num_iter - done)
+            carry = refine_block(jnp.int32(done), jnp.int32(n), carry, gt)
+            done += n
         return carry[3], carry[4]
 
     return refine
