@@ -88,9 +88,13 @@ def load_images_from_dir(image_dir, size=512):
 
 
 def save_image(path, img):
-    """img [H, W, 3] float in [0, 1] -> 8-bit file."""
+    """img [H, W, 3] float in [0, 1] -> 8-bit file. Non-finite pixels
+    (divergent optimization states can render NaN) save as black instead
+    of casting to undefined uint8 values."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
-    arr = np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    arr = np.nan_to_num(np.asarray(img, np.float32), nan=0.0,
+                        posinf=1.0, neginf=0.0)
+    arr = np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
     Image.fromarray(arr).save(path)
 
 
