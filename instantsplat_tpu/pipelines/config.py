@@ -40,7 +40,9 @@ class PipelineParams:
     convert_SHs_python: bool = False
     compute_cov3D_python: bool = False
     debug: bool = False
-    backend: str = "pallas"  # rasterizer backend: pallas | oracle
+    # rasterizer backend: auto (probe dense vs binned per scene and keep
+    # the faster — both exact) | pallas (dense) | pallas-binned | oracle
+    backend: str = "auto"
 
 
 def add_group(parser: ArgumentParser, cls_or_obj, abbrevs=()):

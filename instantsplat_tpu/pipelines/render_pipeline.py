@@ -20,9 +20,11 @@ Pipeline equivalent of the reference render.py (SURVEY.md §3.3):
 from __future__ import annotations
 
 import json
+import logging
 import time
 from pathlib import Path
 
+import jax.numpy as jnp
 import numpy as np
 
 from instantsplat_tpu.data import images as image_io, scene as scene_io
@@ -36,6 +38,43 @@ from instantsplat_tpu.utils import transforms as T
 
 def _w2c_to_pose7(mats):
     return T.matrix_to_pose_np(mats)
+
+
+def resolve_backend(params, camera, pose, bg, backend):
+    """backend='auto' -> time one warm forward render per kernel and keep
+    the faster (both are exact; the dense kernel wins when termination /
+    the row bitmap bite, the binned one when they don't — see
+    PERF_NOTES.md). Binned is only a candidate when its bins hold every
+    splat. Non-'auto' values pass through."""
+    if backend != "auto":
+        return backend
+    import time as _time
+
+    import jax
+
+    from instantsplat_tpu.render.driver import _binned_overflow_impl
+
+    try:
+        overflow = bool(_binned_overflow_impl(
+            params, pose, camera.fx, camera.fy, camera.cx, camera.cy,
+            jnp.float32(1.0), 0, camera.height, camera.width))
+    except Exception:
+        overflow = True
+    if overflow:
+        return "pallas"
+    timed = {}
+    for cand in ("pallas", "pallas-binned"):
+        out = render(params, camera, pose=pose, bg=bg, backend=cand)
+        jax.block_until_ready(out.render)  # compile + warm
+        t0 = _time.perf_counter()
+        out = render(params, camera, pose=pose, bg=bg, backend=cand)
+        jax.block_until_ready(out.render)
+        timed[cand] = _time.perf_counter() - t0
+    pick = min(timed, key=timed.get)
+    logging.getLogger(__name__).info(
+        "backend auto: %s (dense %.1f ms, binned %.1f ms per forward)",
+        pick, timed["pallas"] * 1e3, timed["pallas-binned"] * 1e3)
+    return pick
 
 
 def render_view_set(
@@ -261,6 +300,10 @@ def run_render(
         images_dir=model.images)
     params, iteration = load_trained(
         model_path, iteration, sh_degree=model.sh_degree)
+    backend = resolve_backend(
+        params, train_info.cameras[0],
+        jnp.asarray(_w2c_to_pose7(train_info.poses_w2c[:1])[0]),
+        jnp.ones(3) if model.white_background else jnp.zeros(3), backend)
 
     if not skip_train:
         opt_poses = np.load(

@@ -174,6 +174,20 @@ def make_train_scan(
     return train_block
 
 
+def _binned_bins_fit(params, camera, trainer_cfg) -> bool:
+    """Host-side pre-check for backend='auto': binned is only a candidate
+    when its bin capacity holds every splat (dense never drops splats —
+    the same guarantee the driver's demotion guard enforces)."""
+    try:
+        from instantsplat_tpu.render.driver import _binned_overflow_impl
+
+        return not bool(_binned_overflow_impl(
+            params, params.get_pose(0), camera.fx, camera.fy, camera.cx,
+            camera.cy, jnp.float32(1.0), 0, camera.height, camera.width))
+    except Exception:
+        return False
+
+
 def train_joint(
     params: GaussianModel,
     cameras: list[Camera],
@@ -233,9 +247,26 @@ def train_joint(
     if use_scan:
         import os as _os
 
+        backend = trainer_cfg.backend
+        alt_fn = None
+        if backend == "auto":
+            # Backend auto-selection: the dense kernel wins when early
+            # termination / the row bitmap bite (opaque converged scenes,
+            # depth-diverse clouds); the binned kernel wins when they
+            # don't (near-uniform depth — e.g. a dominant plane — spreads
+            # every chunk across the whole image; measured 1590 vs 290
+            # ms/iter at 413k splats). Probe both with warm blocks and
+            # keep the faster; skip binned when its bins would overflow
+            # (the dense kernel never drops splats).
+            backend = "pallas"
+            if _binned_bins_fit(params, cameras[0], trainer_cfg):
+                alt_fn = make_train_scan(
+                    optimizer, stacked, bg, opt_cfg.lambda_dssim,
+                    "pallas-binned", trainer_cfg.chunk,
+                )
         block_fn = make_train_scan(
             optimizer, stacked, bg, opt_cfg.lambda_dssim,
-            trainer_cfg.backend, trainer_cfg.chunk,
+            backend, trainer_cfg.chunk,
         )
         budget = float(_os.environ.get("INSTANTSPLAT_DISPATCH_BUDGET_S",
                                        trainer_cfg.dispatch_budget_s))
@@ -247,8 +278,11 @@ def train_joint(
         # extra scan length ever compiles.
         probe = max(1, min(10, trainer_cfg.log_every))
         block_cap: Optional[int] = (
-            trainer_cfg.log_every if budget <= 0 else None)
-        warm_probed = budget <= 0
+            trainer_cfg.log_every if budget <= 0 and alt_fn is None
+            else None)
+        warm_probed = block_cap is not None
+        n_probe_blocks = 4 if alt_fn is not None else 2
+        per_iter_main: Optional[float] = None
 
         it = first_iter + 1
         block_idx = 0
@@ -269,22 +303,44 @@ def train_joint(
             iters = np.arange(it, end + 1, dtype=np.int32)
             # trace block 1 (block 0 pays the compile) when profiling is on
             do_trace = trainer_cfg.profile_dir is not None and block_idx == 1
+            # auto backend: blocks 0-1 run the dense program, blocks 2-3
+            # the binned one (each pair = compile + warm measurement)
+            fn = (alt_fn if alt_fn is not None and block_idx in (2, 3)
+                  else block_fn)
             t_blk = time.time()
             with profiling.profile_trace(trainer_cfg.profile_dir,
                                          enabled=do_trace):
-                params, opt_state, metrics = block_fn(
+                params, opt_state, metrics = fn(
                     params, opt_state, jnp.asarray(view_ids),
                     jnp.asarray(iters), active_sh,
                 )
                 if do_trace or not warm_probed:
                     jax.block_until_ready(metrics)
-            if block_cap is None and block_idx >= 1:
-                # block 0 paid the compile; this one is a warm measurement
+            if block_cap is None and block_idx == 1:
+                per_iter_main = (time.time() - t_blk) / max(1, end - it + 1)
+            if block_cap is None and block_idx == n_probe_blocks - 1:
                 per_iter = (time.time() - t_blk) / max(1, end - it + 1)
-                fitting = [d for d in range(1, trainer_cfg.log_every + 1)
-                           if trainer_cfg.log_every % d == 0
-                           and d * per_iter <= budget]
-                block_cap = max(fitting) if fitting else 1
+                if alt_fn is not None:
+                    per_alt = per_iter
+                    if per_alt < per_iter_main:
+                        block_fn = alt_fn
+                        win, lose = "binned", "dense"
+                    else:
+                        per_iter = per_iter_main
+                        per_alt, per_iter_main = per_iter_main, per_alt
+                        win, lose = "dense", "binned"
+                    print(f"[train] backend auto: {win} "
+                          f"({per_alt * 1e3:.0f} ms/iter) beats {lose} "
+                          f"({per_iter_main * 1e3:.0f} ms/iter)",
+                          flush=True)
+                if budget <= 0:
+                    block_cap = trainer_cfg.log_every
+                else:
+                    fitting = [
+                        d for d in range(1, trainer_cfg.log_every + 1)
+                        if trainer_cfg.log_every % d == 0
+                        and d * per_iter <= budget]
+                    block_cap = max(fitting) if fitting else 1
                 warm_probed = True
                 if block_cap < trainer_cfg.log_every:
                     print(f"[train] dispatch governor: {per_iter * 1e3:.0f} "

@@ -338,6 +338,12 @@ def render(
         bg = jnp.zeros(3, jnp.float32)
     if active_sh_degree is None:
         active_sh_degree = gaussians.max_sh_degree
+    if backend == "auto":
+        # single-render calls default to the dense kernel; the places that
+        # can amortize a measurement (the training loop's probe blocks,
+        # pipelines.render_pipeline.resolve_backend) implement the real
+        # dense-vs-binned auto-selection
+        backend = "pallas"
     if backend == "pallas-binned":
         backend = _binned_backend_or_dense(
             gaussians, pose, camera, scale_modifier, active_sh_degree)

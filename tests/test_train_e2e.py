@@ -288,3 +288,25 @@ def test_dispatch_governor_caps_blocks(monkeypatch):
         np.testing.assert_allclose(mc["loss"], mf["loss"], rtol=1e-3)
     np.testing.assert_allclose(p_capped.cam_poses, p_full.cam_poses,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_backend_auto_probes_and_trains():
+    """backend='auto' probes dense vs binned scan blocks, keeps one, and
+    the run still converges (both kernels are exact, so which one wins on
+    the CPU test backend is irrelevant)."""
+    gt_model, cams, true_poses = build_synthetic(n_gauss=100, size=24,
+                                                 seed=7)
+    init = GaussianModel.create_from_pcd(
+        gt_model.xyz, jnp.clip(gt_model.features_dc[:, 0] * 0.28 + 0.5,
+                               0, 1),
+        cam_poses=true_poses, max_sh_degree=0,
+    )
+    params, _, history = train_joint(
+        init, cams,
+        opt_cfg=OptimizationConfig(optim_pose=True),
+        trainer_cfg=TrainerConfig(iterations=60, chunk=64, log_every=20,
+                                  backend="auto"),
+        spatial_lr_scale=1.0,
+    )
+    assert history[-1][1]["loss"] < history[0][1]["loss"] * 1.5
+    assert np.isfinite(history[-1][1]["psnr"])
