@@ -548,3 +548,44 @@ def bin_overflow(
     _, _, overflow = _build_bins(
         mean2d, conic, log_opacity, valid, 0, h_pad, cap, d_levels=dl)
     return overflow
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def _bin_requirements_impl(mean2d, conic, log_opacity, valid,
+                           height: int, width: int):
+    n = mean2d.shape[0]
+    h_pad = _round_up(height, BLOCK_ROWS)
+    worst_cf = jnp.zeros((), jnp.float32)
+    worst_dl = jnp.zeros((), jnp.int32)
+    for y0 in range(0, h_pad, STRIP_ROWS):
+        rows = min(STRIP_ROWS, h_pad - y0)
+        n_rb = rows // BLOCK_ROWS
+        lo, hi = _y_extent_blocks(mean2d, conic, log_opacity, valid,
+                                  y0, rows)
+        ext = jnp.maximum(hi - lo + 1, 0)
+        worst_dl = jnp.maximum(worst_dl, jnp.max(ext))
+        # per-row-block counts (each Gaussian covers [lo, hi]) via
+        # difference arrays, then the composite's capacity formula
+        add = jnp.zeros(n_rb + 1, jnp.int32).at[jnp.clip(lo, 0, n_rb)].add(
+            jnp.where(ext > 0, 1, 0))
+        sub = jnp.zeros(n_rb + 1, jnp.int32).at[
+            jnp.clip(hi + 1, 0, n_rb)].add(jnp.where(ext > 0, 1, 0))
+        counts = jnp.cumsum(add - sub)[:n_rb]
+        padded = ((counts + G_CHUNK - 1) // G_CHUNK) * G_CHUNK
+        need = jnp.sum(padded) - n_rb * G_CHUNK  # alignment slack is
+        # added back by composite_tiles_binned's capacity formula
+        worst_cf = jnp.maximum(worst_cf, need.astype(jnp.float32) / n)
+    return worst_cf, worst_dl
+
+
+def bin_requirements(mean2d, conic, log_opacity, valid,
+                     height: int, width: int) -> tuple[int, int]:
+    """Host-side sizing for backend auto-selection: the (cap_factor,
+    d_levels) that make the binned rasterizer drop-free for THIS scene
+    state (plus one cap_factor of margin for drift during training)."""
+    cf, dl = _bin_requirements_impl(
+        mean2d, conic, log_opacity, valid, height, width)
+    import math
+
+    return max(CAP_FACTOR, math.ceil(float(cf)) + 1), \
+        max(D_LEVELS, int(dl))

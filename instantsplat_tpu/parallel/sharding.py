@@ -153,12 +153,15 @@ def sharded_render(
             )
         else:
             from instantsplat_tpu.ops import rasterize_pallas_binned
+            from instantsplat_tpu.render.driver import _parse_binned_caps
 
+            cf, dl = _parse_binned_caps(backend)
             m2_local = m2 - jnp.stack(
                 [jnp.zeros_like(y0), y0])[None, :]
             out = rasterize_pallas_binned.composite_tiles_binned(
                 m2_local, cn, lo, col, dep, val,
-                height=rows_per, width=W, bg=bg_)
+                height=rows_per, width=W, bg=bg_,
+                cap_factor=cf, d_levels=dl)
         rgb = jax.lax.all_gather(out.rgb, AXIS, axis=0, tiled=True)
         alpha = jax.lax.all_gather(out.alpha, AXIS, axis=0, tiled=True)
         depth = jax.lax.all_gather(out.depth, AXIS, axis=0, tiled=True)

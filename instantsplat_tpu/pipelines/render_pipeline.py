@@ -52,18 +52,26 @@ def resolve_backend(params, camera, pose, bg, backend):
 
     import jax
 
-    from instantsplat_tpu.render.driver import _binned_overflow_impl
+    from instantsplat_tpu.ops.rasterize_pallas_binned import bin_requirements
+    from instantsplat_tpu.pipelines.trainer import (
+        _MAX_BINNED_CAP_FACTOR,
+        _MAX_BINNED_D_LEVELS,
+    )
+    from instantsplat_tpu.render.driver import prepare_sorted_splats
 
     try:
-        overflow = bool(_binned_overflow_impl(
+        (mean2d, conic, log_op, _, _, valid), _ = prepare_sorted_splats(
             params, pose, camera.fx, camera.fy, camera.cx, camera.cy,
-            jnp.float32(1.0), 0, camera.height, camera.width))
+            jnp.float32(1.0), 0, camera.height, camera.width)
+        cf, dl = bin_requirements(mean2d, conic, log_op, valid,
+                                  camera.height, camera.width)
     except Exception:
-        overflow = True
-    if overflow:
         return "pallas"
+    if cf > _MAX_BINNED_CAP_FACTOR or dl > _MAX_BINNED_D_LEVELS:
+        return "pallas"
+    binned = f"pallas-binned:{cf}:{dl}"
     timed = {}
-    for cand in ("pallas", "pallas-binned"):
+    for cand in ("pallas", binned):
         out = render(params, camera, pose=pose, bg=bg, backend=cand)
         jax.block_until_ready(out.render)  # compile + warm
         t0 = _time.perf_counter()
@@ -73,7 +81,7 @@ def resolve_backend(params, camera, pose, bg, backend):
     pick = min(timed, key=timed.get)
     logging.getLogger(__name__).info(
         "backend auto: %s (dense %.1f ms, binned %.1f ms per forward)",
-        pick, timed["pallas"] * 1e3, timed["pallas-binned"] * 1e3)
+        pick, timed["pallas"] * 1e3, timed[binned] * 1e3)
     return pick
 
 

@@ -174,18 +174,35 @@ def make_train_scan(
     return train_block
 
 
-def _binned_bins_fit(params, camera, trainer_cfg) -> bool:
-    """Host-side pre-check for backend='auto': binned is only a candidate
-    when its bin capacity holds every splat (dense never drops splats —
-    the same guarantee the driver's demotion guard enforces)."""
-    try:
-        from instantsplat_tpu.render.driver import _binned_overflow_impl
+# backend='auto': refuse binned above these capacities (slot memory and
+# bin-construction cost scale with cap_factor * N; extreme requirements
+# mean the scene is dense-kernel territory anyway)
+_MAX_BINNED_CAP_FACTOR = 16
+_MAX_BINNED_D_LEVELS = 64
 
-        return not bool(_binned_overflow_impl(
+
+def _binned_candidate(params, camera, trainer_cfg) -> Optional[str]:
+    """Host-side sizing for backend='auto': the 'pallas-binned:CF:DL'
+    backend string whose bin capacity holds every splat of the CURRENT
+    scene state (dense never drops splats — the same guarantee the
+    driver's demotion guard enforces), or None when the needed capacity
+    is unreasonable."""
+    try:
+        from instantsplat_tpu.ops.rasterize_pallas_binned import (
+            bin_requirements,
+        )
+        from instantsplat_tpu.render.driver import prepare_sorted_splats
+
+        (mean2d, conic, log_op, _, _, valid), _ = prepare_sorted_splats(
             params, params.get_pose(0), camera.fx, camera.fy, camera.cx,
-            camera.cy, jnp.float32(1.0), 0, camera.height, camera.width))
+            camera.cy, jnp.float32(1.0), 0, camera.height, camera.width)
+        cf, dl = bin_requirements(mean2d, conic, log_op, valid,
+                                  camera.height, camera.width)
+        if cf > _MAX_BINNED_CAP_FACTOR or dl > _MAX_BINNED_D_LEVELS:
+            return None
+        return f"pallas-binned:{cf}:{dl}"
     except Exception:
-        return False
+        return None
 
 
 def train_joint(
@@ -259,10 +276,11 @@ def train_joint(
             # keep the faster; skip binned when its bins would overflow
             # (the dense kernel never drops splats).
             backend = "pallas"
-            if _binned_bins_fit(params, cameras[0], trainer_cfg):
+            alt_backend = _binned_candidate(params, cameras[0], trainer_cfg)
+            if alt_backend is not None:
                 alt_fn = make_train_scan(
                     optimizer, stacked, bg, opt_cfg.lambda_dssim,
-                    "pallas-binned", trainer_cfg.chunk,
+                    alt_backend, trainer_cfg.chunk,
                 )
         block_fn = make_train_scan(
             optimizer, stacked, bg, opt_cfg.lambda_dssim,

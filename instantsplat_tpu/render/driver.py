@@ -234,13 +234,17 @@ def _render_impl(
             mean2d, conic, log_op, colors, depth, valid,
             height=height, width=width, bg=bg, chunk=chunk,
         )
-    elif backend == "pallas-binned":
+    elif backend.startswith("pallas-binned"):
         # per-row-block gather lists (CUDA-style tile binning): amortized
         # O(sum extents) compute — wins when termination/bitmap skipping is
-        # weak (low-opacity scenes, very large N)
+        # weak (low-opacity scenes, very large N). Optional capacity
+        # suffix "pallas-binned:CF:DL" (cap_factor, d_levels — sized by
+        # rasterize_pallas_binned.bin_requirements for drop-free binning
+        # on scenes that exceed the defaults).
+        cf, dl = _parse_binned_caps(backend)
         out = rasterize_pallas_binned.composite_tiles_binned(
             mean2d, conic, log_op, colors, depth, valid,
-            height=height, width=width, bg=bg,
+            height=height, width=width, bg=bg, cap_factor=cf, d_levels=dl,
         )
     else:
         raise ValueError(f"unknown rasterizer backend: {backend}")
@@ -255,6 +259,14 @@ def _render_impl(
 
 
 _log = logging.getLogger(__name__)
+
+
+def _parse_binned_caps(backend: str):
+    """"pallas-binned[:CF:DL]" -> (cap_factor | None, d_levels | None)."""
+    parts = backend.split(":")
+    if len(parts) == 3:
+        return int(parts[1]), int(parts[2])
+    return None, None
 
 # Binned-backend overflow guard. The kernels cannot warn inline (axon has no
 # debug callbacks — CLAUDE.md), so the driver checks the bin-capacity flag
@@ -276,8 +288,10 @@ def _binned_overflow_impl(gaussians, pose, fx, fy, cx, cy, scale_modifier,
         gaussians, pose, fx, fy, cx, cy, scale_modifier, active_sh_degree,
         height, width,
     )
+    cf, dl = _parse_binned_caps(backend)
     return rasterize_pallas_binned.bin_overflow(
-        mean2d, conic, log_op, valid, height=height, width=width)
+        mean2d, conic, log_op, valid, height=height, width=width,
+        cap_factor=cf, d_levels=dl)
 
 
 def _binned_backend_or_dense(gaussians, pose, camera, scale_modifier,

@@ -207,3 +207,42 @@ def test_binned_overflow_dump_slot():
     out = rpb.composite_tiles_binned(
         *splats, height=height, width=width, cap_factor=1)
     assert np.isfinite(np.asarray(out.rgb)).all()
+
+
+def test_bin_requirements_sizes_dropfree_caps():
+    """bin_requirements returns (cap_factor, d_levels) that make the
+    binned kernel drop-free — exact vs the oracle — on a scene that
+    OVERFLOWS the default capacity (near-uniform depth: every splat's
+    row-block run lands in the same few bins)."""
+    import numpy as np
+
+    from instantsplat_tpu.ops import rasterize, rasterize_pallas_binned as rb
+
+    rng = np.random.default_rng(0)
+    n, h, w = 4096, 32, 128
+    # all splats on a thin depth slab, spread over the image, big enough
+    # to span several row blocks each -> sum(extents) >> CAP_FACTOR * N
+    mean2d = jnp.asarray(
+        rng.uniform([0, 0], [w, h], (n, 2)).astype(np.float32))
+    conic = jnp.tile(jnp.asarray([[0.02, 0.0, 0.02]], jnp.float32), (n, 1))
+    log_op = jnp.full((n,), jnp.log(0.5))
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    depth = jnp.asarray(
+        (3.0 + 1e-4 * rng.random(n)).astype(np.float32))
+    valid = jnp.ones((n,), bool)
+
+    assert bool(rb.bin_overflow(mean2d, conic, log_op, valid,
+                                height=h, width=w))
+    cf, dl = rb.bin_requirements(mean2d, conic, log_op, valid, h, w)
+    assert not bool(rb.bin_overflow(mean2d, conic, log_op, valid,
+                                    height=h, width=w,
+                                    cap_factor=cf, d_levels=dl))
+    got = rb.composite_tiles_binned(
+        mean2d, conic, log_op, colors, depth, valid, height=h, width=w,
+        cap_factor=cf, d_levels=dl)
+    ref = rasterize.composite(mean2d, conic, log_op, colors, depth, valid,
+                              height=h, width=w, chunk=512)
+    np.testing.assert_allclose(np.asarray(got.rgb), np.asarray(ref.rgb),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.alpha),
+                               np.asarray(ref.alpha), atol=2e-5)
