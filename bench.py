@@ -125,5 +125,31 @@ def main():
     print(json.dumps(result))
 
 
+def _main_with_retry():
+    """Re-exec once on transient backend failures.
+
+    The dev tunnel's TPU worker can restart mid-run (surfaces as
+    jax.errors.JaxRuntimeError FAILED_PRECONDITION / "TPU backend error");
+    a fresh process gets a fresh client and the persistent compilation
+    cache makes the retry cheap. Real failures reproduce and still fail."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("INSTANTSPLAT_BENCH_RETRY"):
+        main()
+        return
+    env = dict(os.environ, INSTANTSPLAT_BENCH_RETRY="1")
+    for attempt in range(2):
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env)
+        if proc.returncode == 0:
+            return
+        print(f"bench attempt {attempt + 1} failed (rc={proc.returncode}); "
+              "retrying" if attempt == 0 else "giving up",
+              file=sys.stderr)
+    sys.exit(proc.returncode)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()

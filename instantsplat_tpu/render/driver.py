@@ -281,22 +281,27 @@ _binned_demoted: set = set()
 
 
 @functools.partial(
-    jax.jit, static_argnames=("active_sh_degree", "height", "width"))
+    jax.jit,
+    static_argnames=("active_sh_degree", "height", "width", "cf", "dl"))
 def _binned_overflow_impl(gaussians, pose, fx, fy, cx, cy, scale_modifier,
-                          active_sh_degree: int, height: int, width: int):
+                          active_sh_degree: int, height: int, width: int,
+                          cf=None, dl=None):
     (mean2d, conic, log_op, _, _, valid), _ = prepare_sorted_splats(
         gaussians, pose, fx, fy, cx, cy, scale_modifier, active_sh_degree,
         height, width,
     )
-    cf, dl = _parse_binned_caps(backend)
     return rasterize_pallas_binned.bin_overflow(
         mean2d, conic, log_op, valid, height=height, width=width,
         cap_factor=cf, d_levels=dl)
 
 
 def _binned_backend_or_dense(gaussians, pose, camera, scale_modifier,
-                             active_sh_degree) -> str:
+                             active_sh_degree, backend="pallas-binned") -> str:
     """Rate-limited overflow check; returns the backend to actually use.
+
+    `backend` may carry explicit capacities ("pallas-binned:CF:DL" — e.g.
+    auto-sized by rasterize_pallas_binned.bin_requirements); the check then
+    probes those capacities, since scene content drifts during training.
 
     Host-level only: under an outer jit the inputs are tracers, the flag
     has no concrete value, and a traced render must stay shape-stable —
@@ -304,23 +309,24 @@ def _binned_backend_or_dense(gaussians, pose, camera, scale_modifier,
     (rasterize_pallas_binned.bin_overflow)."""
     if isinstance(gaussians.xyz, jax.core.Tracer) or isinstance(
             pose, jax.core.Tracer):
-        return "pallas-binned"
-    key = (int(gaussians.xyz.shape[0]), camera.height, camera.width)
+        return backend
+    cf, dl = _parse_binned_caps(backend)
+    key = (int(gaussians.xyz.shape[0]), camera.height, camera.width, cf, dl)
     n = _binned_call_count.get(key, 0)
     _binned_call_count[key] = n + 1
     if key not in _binned_demoted and n % _BINNED_CHECK_EVERY == 0:
         overflow = bool(_binned_overflow_impl(
             gaussians, pose, camera.fx, camera.fy, camera.cx, camera.cy,
             jnp.float32(scale_modifier), active_sh_degree,
-            camera.height, camera.width))
+            camera.height, camera.width, cf=cf, dl=dl))
         if overflow:
             _binned_demoted.add(key)
             _log.warning(
                 "binned rasterizer bin capacity exhausted for N=%d %dx%d "
                 "(pairs would be dropped); auto-switching this signature to "
                 "the dense pallas backend. Raise rasterize_pallas_binned."
-                "CAP_FACTOR / D_LEVELS to keep binning.", *key)
-    return "pallas" if key in _binned_demoted else "pallas-binned"
+                "CAP_FACTOR / D_LEVELS to keep binning.", *key[:3])
+    return "pallas" if key in _binned_demoted else backend
 
 
 def render(
@@ -358,9 +364,10 @@ def render(
         # pipelines.render_pipeline.resolve_backend) implement the real
         # dense-vs-binned auto-selection
         backend = "pallas"
-    if backend == "pallas-binned":
+    if backend.startswith("pallas-binned"):
         backend = _binned_backend_or_dense(
-            gaussians, pose, camera, scale_modifier, active_sh_degree)
+            gaussians, pose, camera, scale_modifier, active_sh_degree,
+            backend)
     return _render_impl(
         gaussians,
         pose,

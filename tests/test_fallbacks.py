@@ -89,6 +89,28 @@ def test_driver_keeps_binned_backend_without_overflow(monkeypatch):
                                np.asarray(ref.render), atol=2e-5)
 
 
+def test_driver_capped_binned_caps_reach_probe(monkeypatch):
+    """Capacity-suffixed backend strings ("pallas-binned:CF:DL") also get
+    the rate-limited overflow probe (auto-sized caps go stale as scene
+    content drifts), and the explicit capacities reach the probe."""
+    g, cam = _tiny_scene()
+    monkeypatch.setattr(driver, "_binned_call_count", {})
+    monkeypatch.setattr(driver, "_binned_demoted", set())
+    seen = {}
+    real = driver._binned_overflow_impl
+
+    def spy(*a, **k):
+        seen.update(k)
+        return real(*a, **k)
+
+    monkeypatch.setattr(driver, "_binned_overflow_impl", spy)
+    out = driver.render(g, cam, backend="pallas-binned:6:8")
+    assert seen.get("cf") == 6 and seen.get("dl") == 8
+    ref = driver.render(g, cam, backend="oracle")
+    np.testing.assert_allclose(np.asarray(out.render),
+                               np.asarray(ref.render), atol=2e-5)
+
+
 def test_aligner_uneven_edges_logs_replicated_fallback(caplog):
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from test_aligner import _synthetic_scene
