@@ -145,9 +145,9 @@ def _main_with_retry():
                               env=env)
         if proc.returncode == 0:
             return
+        action = "retrying" if attempt == 0 else "giving up"
         print(f"bench attempt {attempt + 1} failed (rc={proc.returncode}); "
-              "retrying" if attempt == 0 else "giving up",
-              file=sys.stderr)
+              f"{action}", file=sys.stderr)
     sys.exit(proc.returncode)
 
 

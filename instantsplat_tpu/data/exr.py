@@ -65,6 +65,10 @@ def _read_blocks_py(buf, off, n_blocks, lpb, compression, w, y0, y1,
         off += 8
         raw = buf[off:off + size]
         off += size
+        if y < y0 or y > y1:
+            # untrusted file bytes: a y outside the data window would write
+            # rows at wrong (or negative) plane indices
+            raise ValueError(f"EXR block scanline y={y} outside data window")
         rows = min(lpb, y1 - y + 1)
         if compression in (_COMP_ZIP, _COMP_ZIPS):
             if size < rows * row_bytes:  # zlib only wins sometimes; EXR

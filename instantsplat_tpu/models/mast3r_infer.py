@@ -210,7 +210,7 @@ def make_pointmap_fn(ckpt_path: str, batch_size: int = 8,
                      dtype=None):
     """-> pointmap_fn(images, pairs) for pipelines.init_geo_pipeline."""
     cfg = cfg or mast3r.MASt3RConfig()
-    if ckpt_path.startswith("random"):
+    if ckpt_path and (ckpt_path == "random" or ckpt_path.startswith("random:")):
         # Benchmark/dev path: the full production architecture with random
         # weights ("random" or "random:SEED"). Geometry is garbage but the
         # compute is the production compute — scripts/bench_e2e.py uses

@@ -114,8 +114,15 @@ def exr_decode_blocks(buf: bytes, first_block_off: int, n_blocks: int,
     if lib is None:
         raise RuntimeError("native library unavailable")
     for p, s in zip(planes, pix_sz):
-        assert p.flags.c_contiguous and p.itemsize == s and p.shape == (
-            height, width)
+        # explicit raise, not assert: the C side trusts these (a violation
+        # would be an out-of-bounds native write), so the check must
+        # survive python -O
+        if not (p.flags.c_contiguous and p.itemsize == s
+                and p.shape == (height, width)):
+            raise ValueError(
+                f"plane must be C-contiguous [{height}, {width}] with "
+                f"itemsize {s}; got shape {p.shape}, itemsize {p.itemsize}, "
+                f"contiguous={p.flags.c_contiguous}")
     sz = (ctypes.c_int32 * len(pix_sz))(*pix_sz)
     ptrs = (ctypes.c_void_p * len(planes))(
         *[p.ctypes.data_as(ctypes.c_void_p).value for p in planes])

@@ -106,6 +106,10 @@ int exr_decode_blocks(const uint8_t* buf, int64_t buf_len,
       int i = next.fetch_add(1);
       if (i >= n_blocks || err.load()) return;
       const BlockJob& jb = jobs[i];
+      // jb.y comes from untrusted file bytes: reject blocks whose scanline
+      // range falls outside [y0, y0 + height) — a corrupt/malicious y below
+      // y0 would otherwise index rows before the output planes.
+      if (jb.y < y0 || jb.y - y0 >= height) { err.store(1); return; }
       int rows = height - (jb.y - y0);
       if (rows > lpb) rows = lpb;
       if (rows <= 0) { err.store(1); return; }

@@ -582,10 +582,13 @@ def bin_requirements(mean2d, conic, log_opacity, valid,
                      height: int, width: int) -> tuple[int, int]:
     """Host-side sizing for backend auto-selection: the (cap_factor,
     d_levels) that make the binned rasterizer drop-free for THIS scene
-    state (plus one cap_factor of margin for drift during training)."""
+    state, plus margin (one cap_factor, two d_levels) for drift during
+    training. Callers that keep training on the binned kernel must still
+    re-probe periodically (pipelines.trainer does) — margins bound drift,
+    they don't eliminate it."""
     cf, dl = _bin_requirements_impl(
         mean2d, conic, log_opacity, valid, height, width)
     import math
 
     return max(CAP_FACTOR, math.ceil(float(cf)) + 1), \
-        max(D_LEVELS, int(dl))
+        max(D_LEVELS, int(dl) + 2)

@@ -281,6 +281,36 @@ _binned_demoted: set = set()
 
 
 @functools.partial(
+    jax.jit, static_argnames=("height", "width"))
+def _binned_sizing_impl(gaussians, pose, fx, fy, cx, cy,
+                        height: int, width: int):
+    """Device probe for binned-bin sizing: (cap_factor float, d_levels int)
+    the CURRENT scene state needs, as one jitted program (eager jnp ops are
+    poison on the axon tunnel — CLAUDE.md)."""
+    from instantsplat_tpu.ops.rasterize_pallas_binned import (
+        _bin_requirements_impl,
+    )
+
+    (mean2d, conic, log_op, _, _, valid), _ = prepare_sorted_splats(
+        gaussians, pose, fx, fy, cx, cy, jnp.float32(1.0), 0, height, width,
+    )
+    return _bin_requirements_impl(mean2d, conic, log_op, valid,
+                                  height, width)
+
+
+def binned_view_requirements(gaussians, pose, camera) -> tuple[int, int]:
+    """Host-side (cap_factor, d_levels) this view needs for drop-free
+    binning — raw, no margin (callers max over views and add margin;
+    rasterize_pallas_binned.bin_requirements applies the standard one)."""
+    import math
+
+    cf, dl = _binned_sizing_impl(
+        gaussians, pose, camera.fx, camera.fy, camera.cx, camera.cy,
+        camera.height, camera.width)
+    return math.ceil(float(cf)), int(dl)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("active_sh_degree", "height", "width", "cf", "dl"))
 def _binned_overflow_impl(gaussians, pose, fx, fy, cx, cy, scale_modifier,

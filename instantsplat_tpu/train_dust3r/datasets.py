@@ -668,27 +668,64 @@ def prefetch_iter(gen, depth: int = 2):
     """Background-thread batch prefetcher (the torch DataLoader pipelining
     role): assembles up to `depth` batches ahead while the consumer's train
     step runs. Order-preserving and exception-transparent — an exception in
-    the producer re-raises at the consumer's next pull."""
+    the producer re-raises at the consumer's next pull.
+
+    When the consumer abandons the iterator early (generator .close() /
+    GeneratorExit — e.g. the train loop hit --steps), the producer is told
+    to stop and the wrapped generator is closed, so its resources (the
+    dataset's num_workers thread pool, queued batches) are released instead
+    of a worker thread blocking forever on a full queue."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     _END = object()
+    stop = threading.Event()
+
+    def put_or_abandoned(obj) -> bool:
+        """Bounded put that notices consumer abandonment; True = delivered."""
+        while not stop.is_set():
+            try:
+                q.put(obj, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
-            q.put(_END)
+                if not put_or_abandoned(item):
+                    break
+            else:
+                put_or_abandoned(_END)
         except BaseException as e:  # propagate into the consumer
-            q.put(e)
+            put_or_abandoned(e)
+        finally:
+            if stop.is_set():
+                # run the generator's finally blocks (closes worker pools)
+                close = getattr(gen, "close", None)
+                if close is not None:
+                    try:
+                        close()
+                    except Exception:
+                        pass
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # unblock a producer waiting on a full queue, then let it finish
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -285,3 +285,33 @@ def test_batches_num_workers_and_prefetch(tmp_path):
     assert next(it) == {"x": 1}
     with pytest.raises(ValueError, match="producer failed"):
         next(it)
+
+
+def test_prefetch_iter_releases_producer_on_early_abandon():
+    """Closing the prefetch iterator early (the train loop hit --steps)
+    must stop the producer thread and close the wrapped generator (its
+    finally releases the dataset's worker pool) instead of leaving the
+    worker blocked forever on the full queue."""
+    import threading
+    import time
+
+    from instantsplat_tpu.train_dust3r.datasets import prefetch_iter
+
+    closed = threading.Event()
+
+    def endless():
+        try:
+            i = 0
+            while True:
+                yield {"i": i}
+                i += 1
+        finally:
+            closed.set()
+
+    it = prefetch_iter(endless(), depth=2)
+    assert next(it)["i"] == 0
+    it.close()  # consumer abandons with the queue full
+    deadline = time.time() + 5.0
+    while not closed.is_set() and time.time() < deadline:
+        time.sleep(0.02)
+    assert closed.is_set(), "wrapped generator was never closed"

@@ -70,6 +70,37 @@ def test_native_disabled_by_env(tmp_path, monkeypatch):
     assert np.array_equal(read_exr(p), img)  # pure-Python path still works
 
 
+def test_rejects_out_of_window_block_y(tmp_path, monkeypatch):
+    """A block whose scanline y lies outside the data window must raise in
+    BOTH decoders (the native side would otherwise memcpy before the
+    output planes — untrusted file bytes)."""
+    import struct as st
+
+    from instantsplat_tpu.data import exr as exr_mod
+
+    img = np.ones((20, 20), np.float32)
+    p = tmp_path / "y.exr"
+    write_exr(p, img, compression="zip")  # 20 rows / 16 lpb -> 2 blocks
+    buf = bytearray(p.read_bytes())
+    off = 8
+    while True:  # walk header attributes to the offset table
+        name, off = exr_mod._read_cstr(buf, off)
+        if not name:
+            break
+        _, off = exr_mod._read_cstr(buf, off)
+        (size,) = st.unpack_from("<i", bytes(buf), off)
+        off += 4 + size
+    off += 8 * 2  # skip the 2-entry scanline offset table
+    assert st.unpack_from("<i", bytes(buf), off)[0] == 0  # first block y
+    st.pack_into("<i", buf, off, -16)  # y below the data window
+    p.write_bytes(bytes(buf))
+    if native.get_lib() is not None:
+        with pytest.raises((RuntimeError, ValueError)):
+            read_exr(p)
+    with pytest.raises((RuntimeError, ValueError)):
+        _read_pure_python(p, monkeypatch)
+
+
 def test_native_rejects_corrupt_blocks(tmp_path):
     _native_or_skip()
     img = np.ones((20, 20), np.float32)
