@@ -1,14 +1,16 @@
 """Camera path generation: B-spline pose interpolation + lookat frames.
 
-Reference: utils/camera_utils.py:127-206 (`generate_interpolated_path`,
-`viewmatrix`, `transform_poses_pca`) — the smooth camera trajectories used
-for (a) pre-initializing test-view poses from interpolated train poses
-(init_geo.py:86-115) and (b) the 30 fps novel-view video sweep
-(render.py:36-76 save_interpolate_pose).
+Reference behavior: utils/camera_utils.py:89-182 (`generate_interpolated_path`,
+`transform_poses_pca`) and utils/pose_utils.py:302-417 (ellipse/spiral render
+paths) — the smooth camera trajectories used for (a) pre-initializing
+test-view poses from interpolated train poses (init_geo.py:86-115) and
+(b) the 30 fps novel-view video sweep (render.py:36-76).
 
-The spline runs over poses converted to (position, lookat-point, up-point)
-triplets so rotation interpolates through geometry rather than quaternion
-space; identical parameters (degree 5, smoothness 0.03, rot_weight 0.1).
+The spline runs over poses encoded as (position, lookat-point, up-point)
+anchor triplets so rotation interpolates through geometry rather than
+quaternion space; identical parameters (degree 5, smoothness 0.03,
+rot_weight 0.1). All frame construction here is batched numpy — camera
+bookkeeping stays off the device (see CLAUDE.md on eager-op cost).
 """
 
 from __future__ import annotations
@@ -17,48 +19,60 @@ import numpy as np
 import scipy.interpolate
 
 
-def _normalize(x):
-    return x / np.linalg.norm(x)
+def _unit(v):
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
 
 
-def viewmatrix(lookdir, up, position):
-    """[3,4] c2w with columns (right, up', forward, position)."""
-    vec2 = _normalize(lookdir)
-    vec0 = _normalize(np.cross(up, vec2))
-    vec1 = _normalize(np.cross(vec2, vec0))
-    return np.stack([vec0, vec1, vec2, position], axis=1)
+def camera_frames(eyes, lookdirs, verticals):
+    """Batched OpenGL-style camera frames.
+
+    Every argument is [..., 3] (broadcastable against each other). Returns
+    [..., 3, 4] pose blocks whose columns are (right, up, back, eye) with
+    back = unit(lookdir) — the camera's +z points *away* from what it looks
+    at, matching the reference viewmatrix convention
+    (utils/camera_utils.py:206-214 semantics).
+    """
+    eyes, lookdirs, verticals = np.broadcast_arrays(
+        *(np.asarray(a, dtype=float) for a in (eyes, lookdirs, verticals)))
+    back = _unit(lookdirs)
+    right = _unit(np.cross(verticals, back))
+    up = _unit(np.cross(back, right))
+    return np.concatenate(
+        [np.stack([right, up, back], axis=-1), eyes[..., None]], axis=-1)
+
+
+def _homogeneous(p):
+    """Append the constant [0,0,0,1] row to [..., 3, 4] pose blocks."""
+    bottom = np.zeros_like(p[..., :1, :])
+    bottom[..., 0, 3] = 1.0
+    return np.concatenate([p, bottom], axis=-2)
 
 
 def generate_interpolated_path(poses, n_interp, spline_degree=5,
                                smoothness=0.03, rot_weight=0.1):
-    """Smooth spline through [N,3,4] (or [N,4,4]) pose keyframes.
+    """Smooth B-spline through [N,3,4] (or [N,4,4]) c2w pose keyframes.
 
-    Returns [n_interp * (N-1), 3, 4].
+    Each keyframe is encoded as three 3D anchors — the eye plus probe
+    points offset rot_weight along the view (-z) and vertical (+y) axes —
+    and one multidimensional spline is fit through the 9-vector sequence
+    (reference: camera_utils.py:127-182). Returns [n_interp * (N-1), 3, 4].
     """
-    poses = np.asarray(poses)[:, :3, :4]
+    poses = np.asarray(poses, dtype=float)[:, :3, :4]
+    eyes = poses[:, :, 3]
+    anchors = np.stack([
+        eyes,
+        eyes - rot_weight * poses[:, :, 2],   # lookat probe (along view dir)
+        eyes + rot_weight * poses[:, :, 1],   # up probe
+    ], axis=1)                                # [N, 3 anchors, 3]
 
-    def poses_to_points(poses, dist):
-        pos = poses[:, :3, -1]
-        lookat = poses[:, :3, -1] - dist * poses[:, :3, 2]
-        up = poses[:, :3, -1] + dist * poses[:, :3, 1]
-        return np.stack([pos, lookat, up], 1)
-
-    def points_to_poses(points):
-        return np.array([viewmatrix(p - l, u - p, p) for p, l, u in points])
-
-    def interp(points, n, k, s):
-        sh = points.shape
-        pts = points.reshape(sh[0], -1)
-        k = min(k, sh[0] - 1)
-        tck, _ = scipy.interpolate.splprep(pts.T, k=k, s=s)
-        u = np.linspace(0, 1, n, endpoint=False)
-        new_points = np.array(scipy.interpolate.splev(u, tck))
-        return new_points.T.reshape(n, sh[1], sh[2])
-
-    points = poses_to_points(poses, dist=rot_weight)
-    new_points = interp(points, n_interp * (points.shape[0] - 1),
-                        k=spline_degree, s=smoothness)
-    return points_to_poses(new_points)
+    n_out = n_interp * (len(poses) - 1)
+    degree = min(spline_degree, len(poses) - 1)
+    tck, _ = scipy.interpolate.splprep(
+        anchors.reshape(len(poses), 9).T, k=degree, s=smoothness)
+    u = np.linspace(0.0, 1.0, n_out, endpoint=False)
+    samples = np.asarray(scipy.interpolate.splev(u, tck)).T  # [n_out, 9]
+    eye_s, look_s, up_s = samples.reshape(n_out, 3, 3).transpose(1, 0, 2)
+    return camera_frames(eye_s, eye_s - look_s, up_s - eye_s)
 
 
 def interpolate_between_all(poses, n_interp):
@@ -101,119 +115,116 @@ def test_pose_init_from_train(extrinsics_w2c, n_test):
 
 # ---------------------------------------------------------------------------
 # pose normalization + ellipse / spiral render paths
-# (reference: utils/camera_utils.py:89-206, utils/pose_utils.py:302-417)
+# (reference behavior: utils/camera_utils.py:89-125, utils/pose_utils.py:302-417)
 # ---------------------------------------------------------------------------
 
 
-def pad_poses(p):
-    bottom = np.broadcast_to([0, 0, 0, 1.0], p[..., :1, :4].shape)
-    return np.concatenate([p[..., :3, :4], bottom], axis=-2)
-
-
-def unpad_poses(p):
-    return p[..., :3, :4]
-
-
 def transform_poses_pca(poses):
-    """Align principal components of camera centers with XYZ, scale into
-    [-1, 1]^3 (utils/camera_utils.py:89-125). poses: [N,3,4] c2w."""
-    poses = np.asarray(poses)[:, :3, :4]
-    t = poses[:, :3, 3]
-    t_mean = t.mean(axis=0)
-    t = t - t_mean
-    eigval, eigvec = np.linalg.eig(t.T @ t)
-    inds = np.argsort(eigval)[::-1]
-    eigvec = eigvec[:, inds]
-    rot = eigvec.T
-    if np.linalg.det(rot) < 0:
-        rot = np.diag(np.array([1, 1, -1])) @ rot
-    transform = np.concatenate([rot, rot @ -t_mean[:, None]], -1)
-    poses_recentered = unpad_poses(transform @ pad_poses(poses))
-    transform = np.concatenate([transform, np.eye(4)[3:]], axis=0)
-    if poses_recentered.mean(axis=0)[2, 1] < 0:
-        flip = np.diag(np.array([1, -1, -1]))
-        poses_recentered = flip @ poses_recentered
-        transform = np.diag(np.array([1, -1, -1, 1])) @ transform
-    scale = 1.0 / np.max(np.abs(poses_recentered[:, :3, 3]))
-    poses_recentered[:, :3, 3] *= scale
-    transform = np.diag(np.array([scale] * 3 + [1])) @ transform
-    return poses_recentered, transform
+    """Rotate/scale the world so camera centers' principal axes land on
+    XYZ and all centers fit in [-1,1]^3 (camera_utils.py:89-125 behavior).
+
+    poses: [N,3,4] (or [N,4,4]) c2w. Returns (aligned [N,3,4], world
+    transform [4,4] mapping original world coords into the aligned frame).
+    """
+    poses = np.asarray(poses, dtype=float)[:, :3, :4]
+    eyes = poses[:, :, 3]
+    centroid = eyes.mean(axis=0)
+    scatter = (eyes - centroid).T @ (eyes - centroid)
+    # np.linalg.eig (not eigh/svd) keeps eigenvector sign conventions
+    # matching the normalization downstream consumers were tuned on.
+    evals, evecs = np.linalg.eig(scatter)
+    basis = evecs[:, np.argsort(evals)[::-1]].T
+    if np.linalg.det(basis) < 0:
+        basis[2] *= -1.0                     # keep it a rotation
+
+    world_tf = np.eye(4)
+    world_tf[:3, :3] = basis
+    world_tf[:3, 3] = basis @ -centroid
+    aligned = np.einsum('ij,njk->nik', world_tf[:3], _homogeneous(poses))
+
+    # Keep the average camera up-axis (+y column) pointing toward +z.
+    if aligned[:, 2, 1].mean() < 0:
+        row_signs = np.array([1.0, -1.0, -1.0])
+        aligned = aligned * row_signs[:, None]
+        world_tf[:3] *= row_signs[:, None]
+
+    span = np.abs(aligned[:, :, 3]).max()
+    aligned[:, :, 3] /= span
+    world_tf[:3] /= span
+    return aligned, world_tf
 
 
 def focus_point_fn(poses):
-    """Point minimizing distance to all camera z-axes (mip-NeRF 360)."""
-    directions = poses[:, :3, 2:3]
-    origins = poses[:, :3, 3:4]
-    m = np.eye(3) - directions * np.transpose(directions, [0, 2, 1])
-    mt_m = np.transpose(m, [0, 2, 1]) @ m
-    return np.linalg.inv(mt_m.mean(0)) @ (mt_m @ origins).mean(0)[:, 0]
+    """Least-squares point closest to every camera's optical axis
+    (pose_utils.py:292-299 behavior). poses: [N,3+,4] aligned c2w."""
+    axes = poses[:, :3, 2]
+    eyes = poses[:, :3, 3]
+    # Rejection matrix I - zz^T projects onto each axis' normal plane;
+    # summing the per-camera normal equations gives the closest point.
+    reject = np.eye(3) - axes[:, :, None] * axes[:, None, :]
+    return np.linalg.solve(reject.sum(0), np.einsum('nij,nj->i', reject, eyes))
 
 
 def generate_ellipse_path(c2w_poses, n_frames=600, const_speed=True,
                           z_variation=0.0, z_phase=0.0):
     """Elliptical orbit around the scene focus point
-    (utils/pose_utils.py:302-366). c2w_poses: [N,4,4] (COLMAP convention);
-    returns [n_frames, 4, 4] w2c matrices ready for rendering."""
+    (pose_utils.py:302-366 behavior). c2w_poses: [N,4,4] (COLMAP
+    convention); returns [n_frames, 4, 4] w2c matrices ready for rendering.
+    """
     from instantsplat_tpu.utils.stepfun import sample_np
 
-    # OpenGL-style pose set like the reference builds from Camera objects
-    poses = np.asarray(c2w_poses).copy()
-    poses[:, :, 1:3] *= -1
-    poses, transform = transform_poses_pca(poses)
+    # COLMAP -> OpenGL axis convention, then PCA-normalize the capture.
+    gl = np.asarray(c2w_poses, dtype=float).copy()
+    gl[:, :3, 1:3] *= -1
+    poses, world_tf = transform_poses_pca(gl)
 
     center = focus_point_fn(poses)
-    offset = np.array([center[0], center[1], 0])
-    sc = np.percentile(np.abs(poses[:, :3, 3] - offset), 90, axis=0)
-    low = -sc + offset
-    high = sc + offset
-    z_low = np.percentile(poses[:, :3, 3], 10, axis=0)
-    z_high = np.percentile(poses[:, :3, 3], 90, axis=0)
+    eyes = poses[:, :, 3]
+    # Orbit in the z=0 plane about the focus point's xy; radii from the
+    # 90th-percentile spread of the (aligned) camera centers.
+    ring_center = np.array([center[0], center[1], 0.0])
+    radius = np.percentile(np.abs(eyes - ring_center), 90, axis=0)
+    z_lo, z_hi = np.percentile(eyes, [10, 90], axis=0)[:, 2]
 
-    def get_positions(theta):
+    def orbit(theta):
         return np.stack([
-            low[0] + (high - low)[0] * (np.cos(theta) * 0.5 + 0.5),
-            low[1] + (high - low)[1] * (np.sin(theta) * 0.5 + 0.5),
-            z_variation * (z_low[2] + (z_high - z_low)[2]
-                           * (np.cos(theta + 2 * np.pi * z_phase) * 0.5
-                              + 0.5)),
-        ], -1)
+            ring_center[0] + radius[0] * np.cos(theta),
+            ring_center[1] + radius[1] * np.sin(theta),
+            z_variation * (z_lo + (z_hi - z_lo)
+                           * (0.5 + 0.5 * np.cos(theta + 2 * np.pi * z_phase))),
+        ], axis=-1)
 
-    theta = np.linspace(0, 2.0 * np.pi, n_frames + 1, endpoint=True)
-    positions = get_positions(theta)
+    theta = np.linspace(0.0, 2.0 * np.pi, n_frames + 1, endpoint=True)
+    positions = orbit(theta)
     if const_speed:
-        lengths = np.linalg.norm(positions[1:] - positions[:-1], axis=-1)
-        theta = sample_np(None, theta, np.log(np.maximum(lengths, 1e-12)),
+        seglen = np.linalg.norm(np.diff(positions, axis=0), axis=-1)
+        theta = sample_np(None, theta, np.log(np.maximum(seglen, 1e-12)),
                           n_frames + 1)
-        positions = get_positions(theta)
-    positions = positions[:-1]
+        positions = orbit(theta)
+    positions = positions[:-1]               # drop the wrapped duplicate
 
-    avg_up = poses[:, :3, 1].mean(0)
-    avg_up = avg_up / np.linalg.norm(avg_up)
-    ind_up = np.argmax(np.abs(avg_up))
-    up = np.eye(3)[ind_up] * np.sign(avg_up[ind_up])
+    # World up = the dominant axis of the mean camera up direction.
+    mean_up = _unit(poses[:, :3, 1].mean(0))
+    dom = np.argmax(np.abs(mean_up))
+    up = np.sign(mean_up[dom]) * np.eye(3)[dom]
 
-    render_w2c = []
-    inv_tf = np.linalg.inv(transform)
-    for p in positions:
-        pose = np.eye(4)
-        pose[:3] = viewmatrix(p - center, up, p)
-        pose = inv_tf @ pose
-        pose[:3, 1:3] *= -1
-        render_w2c.append(np.linalg.inv(pose))
-    return np.stack(render_w2c)
+    frames = camera_frames(positions, positions - center, up)
+    c2w = np.linalg.inv(world_tf)[None] @ _homogeneous(frames)
+    c2w[:, :3, 1:3] *= -1                    # back to COLMAP convention
+    return np.linalg.inv(c2w)
 
 
 def generate_spiral_path(c2w_poses, bounds, n_frames=180, n_rots=2,
                          zrate=0.5):
-    """Forward-facing spiral (utils/pose_utils.py:370-417 simplified to
+    """Forward-facing spiral (pose_utils.py:370-417 behavior, simplified to
     take [N,4,4] c2w + [N,2] near/far bounds). Returns [n_frames,4,4] w2c."""
-    poses = np.asarray(c2w_poses).copy()[:, :3, :4]
+    poses = np.asarray(c2w_poses, dtype=float).copy()[:, :3, :4]
     poses[:, :, 1:3] *= -1
     bounds = np.asarray(bounds)
     scale = 1.0 / (bounds.min() * 0.75)
     poses[:, :3, 3] *= scale
     bounds = bounds * scale
-    poses, transform = transform_poses_pca(poses)
+    poses, world_tf = transform_poses_pca(poses)
 
     close_depth, inf_depth = bounds.min() * 0.9, bounds.max() * 5.0
     dt = 0.75
@@ -223,22 +234,18 @@ def generate_spiral_path(c2w_poses, bounds, n_frames=180, n_rots=2,
         [np.percentile(np.abs(positions), 90, 0), [1.0]])
 
     cam2world = np.eye(4)
-    cam2world[:3] = viewmatrix(
-        poses[:, :3, 2].mean(0), poses[:, :3, 1].mean(0),
-        positions.mean(0))
+    cam2world[:3] = camera_frames(
+        positions.mean(0), poses[:, :3, 2].mean(0), poses[:, :3, 1].mean(0))
     up = poses[:, :3, 1].mean(0)
-    render_w2c = []
-    inv_tf = np.linalg.inv(transform)
-    for theta in np.linspace(0, 2 * np.pi * n_rots, n_frames,
-                             endpoint=False):
-        t = radii * [np.cos(theta), -np.sin(theta),
-                     -np.sin(theta * zrate), 1.0]
-        position = (cam2world @ t)[:3]
-        lookat = (cam2world @ [0, 0, -focal, 1.0])[:3]
-        pose = np.eye(4)
-        pose[:3] = viewmatrix(position - lookat, up, position)
-        pose = inv_tf @ pose
-        pose[:3, 1:3] *= -1
-        pose[:3, 3] /= scale
-        render_w2c.append(np.linalg.inv(pose))
-    return np.stack(render_w2c)
+    theta = np.linspace(0, 2 * np.pi * n_rots, n_frames, endpoint=False)
+    offsets = radii * np.stack([np.cos(theta), -np.sin(theta),
+                                -np.sin(theta * zrate),
+                                np.ones_like(theta)], axis=-1)
+    spiral_eyes = (offsets @ cam2world.T)[:, :3]
+    lookat = (cam2world @ [0, 0, -focal, 1.0])[:3]
+
+    frames = camera_frames(spiral_eyes, spiral_eyes - lookat, up)
+    c2w = np.linalg.inv(world_tf)[None] @ _homogeneous(frames)
+    c2w[:, :3, 1:3] *= -1
+    c2w[:, :3, 3] /= scale
+    return np.linalg.inv(c2w)
