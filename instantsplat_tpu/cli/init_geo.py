@@ -32,6 +32,9 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--depth_thre", type=float, default=0.01)
     parser.add_argument("--infer_video", action="store_true")
     parser.add_argument("--batch_size", type=int, default=8)
+    # Multi-chip: pair-data-parallel MASt3R inference + edge-sharded
+    # alignment over an n-device mesh. 0 = single-device, -1 = all local.
+    parser.add_argument("--n_devices", type=int, default=0)
     # Accepted for drop-in compatibility with reference init_geo.py:137-144;
     # the reference accepts them but its main() never consumes them either
     # (split_train_test hardcodes the 12-index split, the aligner keeps its
@@ -48,10 +51,23 @@ def main(argv=None):
     initialize_runtime()  # no-op single-process; wires jax.distributed on pods
     args = build_parser().parse_args(argv)
 
+    mesh = None
+    if args.n_devices:
+        import jax
+
+        from instantsplat_tpu.parallel.sharding import make_mesh
+
+        ndev = (len(jax.devices()) if args.n_devices == -1
+                else args.n_devices)
+        if ndev > 1:
+            mesh = make_mesh(ndev)
+            print(f"[init_geo] pair-DP inference + edge-sharded alignment "
+                  f"over {ndev} devices")
+
     from instantsplat_tpu.models.mast3r_infer import make_pointmap_fn
 
     pointmap_fn = make_pointmap_fn(
-        args.ckpt_path, batch_size=args.batch_size)
+        args.ckpt_path, batch_size=args.batch_size, mesh=mesh)
 
     from instantsplat_tpu.pipelines.init_geo_pipeline import run_init_geo
 
@@ -63,6 +79,7 @@ def main(argv=None):
         conf_aware_ranking=args.conf_aware_ranking,
         depth_thre=args.depth_thre, co_vis_dsp=args.co_vis_dsp,
         infer_video=args.infer_video, save_all_pts=True,
+        mesh=mesh,
     )
     print(f"[init_geo] done -> {args.source_path}/sparse_{args.n_views}")
 

@@ -28,6 +28,11 @@ def build_parser() -> ArgumentParser:
                         default=[])
     parser.add_argument("--test_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
+    # Multi-chip: shard every render over an n-device mesh
+    # (parallel/sharding.py). 0 = single-device, -1 = all local devices.
+    parser.add_argument("--n_devices", type=int, default=0)
+    parser.add_argument("--shard_axis", choices=["pixels", "gaussians"],
+                        default="pixels")
     # SIBR viewer wiring (reference train.py:310: --disable_viewer defaults
     # to True; pass --enable_viewer to serve live renders on --port)
     parser.add_argument("--enable_viewer", action="store_true")
@@ -56,6 +61,8 @@ def main(argv=None):
         iterations=args.iterations,
         white_background=model.white_background,
         backend=args.backend,
+        n_devices=args.n_devices or None,
+        shard_axis=args.shard_axis,
     )
 
     def progress(it, m):

@@ -44,9 +44,15 @@ def run_init_geo(
     co_vis_dsp=False,
     infer_video=False,
     save_all_pts=False,
+    mesh=None,
 ):
     """Returns the GlobalAligner (with optimized scene) after writing all
-    stage-1 artifacts under <source_path>/sparse_{n_views}/{0,1}."""
+    stage-1 artifacts under <source_path>/sparse_{n_views}/{0,1}.
+
+    `mesh`: optional 1-D jax.sharding.Mesh — the alignment loop shards its
+    stacked edge tensors over it (init/aligner.py align(mesh=)); pass the
+    same mesh to the pointmap backend (make_pointmap_fn(mesh=)) for
+    pair-data-parallel inference."""
     source_path = Path(source_path)
     model_path = Path(model_path)
     save_path, sparse_0, sparse_1 = scene_io.init_filestructure(
@@ -67,7 +73,7 @@ def run_init_geo(
 
     aligner = GlobalAligner(preds)
     aligner.init_mst(focal_avg=focal_avg)
-    aligner.align(niter=niter, lr=lr, schedule=schedule)
+    aligner.align(niter=niter, lr=lr, schedule=schedule, mesh=mesh)
 
     extrinsics_w2c = np.linalg.inv(aligner.get_im_poses())
     intrinsics = aligner.get_intrinsics()

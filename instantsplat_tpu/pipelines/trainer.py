@@ -65,6 +65,34 @@ class TrainerConfig:
     # jax.profiler trace written to this directory (SURVEY.md §5;
     # utils/profiling.py). No-op on backends without profiler support.
     profile_dir: str | None = None
+    # Multi-chip training (parallel/sharding.py): shard every render over an
+    # n_devices 1-D mesh. 0/None = single-device; -1 = all local devices.
+    # shard_axis: 'pixels' (row blocks per chip, Gaussians replicated) or
+    # 'gaussians' (depth slices per chip — the large-N regime).
+    n_devices: Optional[int] = None
+    shard_axis: str = "pixels"
+
+
+def _render_rgb(p, cam, pose, bg, active_sh, chunk, backend, mesh,
+                shard_axis):
+    """One view's RGB on the single-device driver or sharded over `mesh`
+    (parallel/sharding.py row-block / depth-slice renders — the production
+    multi-chip path; gradients psum automatically through the shard_map
+    transpose)."""
+    if mesh is None:
+        out = render(p, cam, pose=pose, bg=bg, active_sh_degree=active_sh,
+                     chunk=chunk, backend=backend)
+        return out.render
+    from instantsplat_tpu.parallel import sharding as _sharding
+
+    if shard_axis == "gaussians":
+        rgb, _, _ = _sharding.gaussian_sharded_render(
+            p, cam, mesh, pose=pose, bg=bg, active_sh_degree=active_sh)
+    else:
+        rgb, _, _ = _sharding.sharded_render(
+            p, cam, mesh, pose=pose, bg=bg, active_sh_degree=active_sh,
+            chunk=chunk, backend=backend)
+    return rgb
 
 
 def make_train_step(
@@ -74,6 +102,8 @@ def make_train_step(
     lambda_dssim: float,
     backend: str,
     chunk: int,
+    mesh=None,
+    shard_axis: str = "pixels",
 ):
     """Build the jitted (render -> loss -> grad -> update) step."""
 
@@ -92,17 +122,10 @@ def make_train_step(
 
         def loss_fn(p: GaussianModel):
             pose = p.get_pose(view_idx)
-            out = render(
-                p,
-                cam,
-                pose=pose,
-                bg=bg,
-                active_sh_degree=active_sh,
-                chunk=chunk,
-                backend=backend,
-            )
-            loss, aux = photometric_loss(out.render, cam.image, lambda_dssim)
-            aux["psnr"] = psnr(out.render, cam.image)
+            rgb = _render_rgb(p, cam, pose, bg, active_sh, chunk, backend,
+                              mesh, shard_axis)
+            loss, aux = photometric_loss(rgb, cam.image, lambda_dssim)
+            aux["psnr"] = psnr(rgb, cam.image)
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -120,6 +143,8 @@ def make_train_scan(
     lambda_dssim: float,
     backend: str,
     chunk: int,
+    mesh=None,
+    shard_axis: str = "pixels",
 ):
     """Build a jitted k-iteration training block: one XLA dispatch runs k
     (render -> loss -> grad -> Adam) steps via lax.scan.
@@ -151,13 +176,10 @@ def make_train_scan(
 
             def loss_fn(pp: GaussianModel):
                 pose = pp.get_pose(view_idx)
-                out = render(
-                    pp, cam, pose=pose, bg=bg, active_sh_degree=active_sh,
-                    chunk=chunk, backend=backend,
-                )
-                loss, aux = photometric_loss(out.render, cam.image,
-                                             lambda_dssim)
-                aux["psnr"] = psnr(out.render, cam.image)
+                rgb = _render_rgb(pp, cam, pose, bg, active_sh, chunk,
+                                  backend, mesh, shard_axis)
+                loss, aux = photometric_loss(rgb, cam.image, lambda_dssim)
+                aux["psnr"] = psnr(rgb, cam.image)
                 return loss, aux
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
@@ -217,6 +239,7 @@ def train_joint(
     first_iter: int = 0,
     live_ref: Optional[list] = None,
     viewer=None,
+    mesh=None,
 ):
     """Run the joint optimization loop.
 
@@ -226,10 +249,26 @@ def train_joint(
     (reference train.py:101-103 restore path). `viewer` is an optional
     render.network_gui.NetworkGUI polled between iterations (the
     reference's SIBR loop, train.py:125-138, off by default).
+
+    Multi-chip: pass `mesh` (1-D jax.sharding.Mesh) or set
+    trainer_cfg.n_devices and a mesh is built here; every render inside the
+    scanned/governed loop is then sharded per trainer_cfg.shard_axis
+    (parallel/sharding.py), with Gaussian/pose gradients psum'd over ICI.
     """
     stacked = stack_cameras(cameras)
     n_views = len(cameras)
     bg = jnp.ones(3) if trainer_cfg.white_background else jnp.zeros(3)
+
+    if mesh is None and trainer_cfg.n_devices not in (None, 0):
+        from instantsplat_tpu.parallel.sharding import make_mesh
+
+        ndev = trainer_cfg.n_devices
+        ndev = len(jax.devices()) if ndev == -1 else ndev
+        if ndev > 1:
+            mesh = make_mesh(ndev)
+    if mesh is not None:
+        print(f"[train] sharding renders over {mesh.devices.size} devices "
+              f"(axis: {trainer_cfg.shard_axis})", flush=True)
 
     optimizer = GaussianOptimizer(
         opt_cfg,
@@ -266,6 +305,11 @@ def train_joint(
 
         backend = trainer_cfg.backend
         alt_fn = None
+        if backend == "auto" and mesh is not None:
+            # sharded renders use the dense kernel per chip; the binned
+            # probe's capacity sizing is per-chip-row-block dependent, so
+            # auto simply resolves to dense under a mesh
+            backend = "pallas"
         if backend == "auto":
             # Backend auto-selection: the dense kernel wins when early
             # termination / the row bitmap bite (opaque converged scenes,
@@ -285,6 +329,7 @@ def train_joint(
         block_fn = make_train_scan(
             optimizer, stacked, bg, opt_cfg.lambda_dssim,
             backend, trainer_cfg.chunk,
+            mesh=mesh, shard_axis=trainer_cfg.shard_axis,
         )
         budget = float(_os.environ.get("INSTANTSPLAT_DISPATCH_BUDGET_S",
                                        trainer_cfg.dispatch_budget_s))
@@ -371,8 +416,10 @@ def train_joint(
         return params, opt_state, history
 
     step_fn = make_train_step(
-        optimizer, stacked, bg, opt_cfg.lambda_dssim, trainer_cfg.backend,
-        trainer_cfg.chunk,
+        optimizer, stacked, bg, opt_cfg.lambda_dssim,
+        "pallas" if trainer_cfg.backend == "auto" and mesh is not None
+        else trainer_cfg.backend,
+        trainer_cfg.chunk, mesh=mesh, shard_axis=trainer_cfg.shard_axis,
     )
     for it in range(first_iter + 1, trainer_cfg.iterations + 1):
         if viewer is not None:

@@ -105,6 +105,11 @@ def main():
                     help="scene dirs already contain sparse_{n}")
     ap.add_argument("--jobs", type=int, default=1,
                     help="concurrent scenes (one chip slot each)")
+    ap.add_argument("--n_devices", type=int, default=0,
+                    help="shard ONE scene over this many chips "
+                         "(pair-DP init_geo + sharded train renders; "
+                         "-1 = all local devices). Mutually exclusive "
+                         "with --jobs > 1 scene-parallelism.")
     args = ap.parse_args()
 
     py = [sys.executable, "-m"]
@@ -121,18 +126,20 @@ def main():
             nv = str(args.n_views)
             it = str(args.iterations)
 
+            shard = (["--n_devices", str(args.n_devices)]
+                     if args.n_devices else [])
             ok = True
             if not args.skip_init:
                 ok = run_stage(
                     py + ["instantsplat_tpu.cli.init_geo", "-s", str(src),
                           "-m", str(out), "--n_views", nv,
                           "--ckpt_path", args.ckpt_path, "--focal_avg",
-                          "--co_vis_dsp", "--conf_aware_ranking"],
+                          "--co_vis_dsp", "--conf_aware_ranking"] + shard,
                     logs / "01_init_geo.log", env=env)
             ok = ok and run_stage(
                 py + ["instantsplat_tpu.cli.train", "-s", str(src),
                       "-m", str(out), "--n_views", nv, "--iterations", it,
-                      "--pp_optimizer", "--optim_pose"],
+                      "--pp_optimizer", "--optim_pose"] + shard,
                 logs / "02_train.log", env=env)
             ok = ok and run_stage(
                 py + ["instantsplat_tpu.cli.render", "-s", str(src),

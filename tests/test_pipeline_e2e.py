@@ -254,3 +254,89 @@ def test_init_geo_and_train_portrait_scene(tmp_path):
         model, OptimizationConfig(optim_pose=True), trainer)
     losses = [m["loss"] for _, m in history]
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow
+def test_full_pipeline_multichip(tmp_path):
+    """Full 5-stage pipeline with stages 1-2 sharded over the 8-device CPU
+    mesh — the `run_eval.py --n_devices 8` path (VERDICT r3 item 1):
+    pair-DP-capable init_geo with the edge-sharded aligner, then training
+    with TrainerConfig.n_devices=8, asserting numeric equality with the
+    single-device run, then render + metrics on the sharded output."""
+    from instantsplat_tpu.parallel import make_mesh
+
+    c2ws, pts_world, pts_cam, images = _scene_geometry()
+    files = [f"frame_{v:04d}.png" for v in range(N_IMAGES)]
+    _, _, train_idx, _ = scene_io.split_train_test(files, N_VIEWS)
+
+    def make_scene_dir(name):
+        d = tmp_path / name
+        (d / "images").mkdir(parents=True)
+        for v in range(N_IMAGES):
+            image_io.save_image(d / "images" / f"frame_{v:04d}.png",
+                                images[v])
+        (d / "sparse" / "0").mkdir(parents=True)
+        scene_io.save_extrinsics(d / "sparse" / "0", np.linalg.inv(c2ws),
+                                 files, ".png")
+        return d
+
+    from instantsplat_tpu.pipelines.init_geo_pipeline import run_init_geo
+
+    mesh = make_mesh(8)
+    scene_sh, out_sh = make_scene_dir("scene_sh"), tmp_path / "out_sh"
+    scene_1d, out_1d = make_scene_dir("scene_1d"), tmp_path / "out_1d"
+    for scene_dir, out_dir, m in ((scene_sh, out_sh, mesh),
+                                  (scene_1d, out_1d, None)):
+        run_init_geo(
+            scene_dir, out_dir,
+            _oracle_pointmap_fn(c2ws, pts_world, pts_cam, train_idx),
+            n_views=N_VIEWS, image_size=max(H, W), niter=40,
+            focal_avg=True, depth_thre=0.0, mesh=m)
+
+    # stage-1 equality: mesh-sharded alignment == single-device alignment
+    ims_sh = colmap.read_images_text(
+        scene_sh / f"sparse_{N_VIEWS}" / "0" / "images.txt")
+    ims_1d = colmap.read_images_text(
+        scene_1d / f"sparse_{N_VIEWS}" / "0" / "images.txt")
+    for k in ims_sh:
+        np.testing.assert_allclose(ims_sh[k].qvec, ims_1d[k].qvec, atol=1e-4)
+        np.testing.assert_allclose(ims_sh[k].tvec, ims_1d[k].tvec, atol=1e-4)
+
+    # stage-2 equality: same stage-1 artifacts (the sharded scene's), one
+    # training sharded over the mesh, one single-device
+    from instantsplat_tpu.pipelines.config import ModelParams
+    from instantsplat_tpu.pipelines.train_pipeline import run_training
+    from instantsplat_tpu.pipelines.trainer import TrainerConfig
+    from instantsplat_tpu.opt.gaussian_opt import OptimizationConfig
+
+    opt = OptimizationConfig(pp_optimizer=True, optim_pose=True)
+    model_sh = ModelParams(source_path=str(scene_sh),
+                           model_path=str(out_sh), n_views=N_VIEWS)
+    params_sh, hist_sh = run_training(
+        model_sh, opt,
+        TrainerConfig(iterations=40, backend="oracle", log_every=20,
+                      n_devices=8))
+    model_1d = ModelParams(source_path=str(scene_1d),
+                           model_path=str(out_1d), n_views=N_VIEWS)
+    params_1d, hist_1d = run_training(
+        model_1d, opt,
+        TrainerConfig(iterations=40, backend="oracle", log_every=20))
+
+    np.testing.assert_allclose(hist_sh[-1][1]["loss"],
+                               hist_1d[-1][1]["loss"], rtol=5e-3)
+    pose_sh = np.load(out_sh / "pose" / "ours_40" / "pose_optimized.npy")
+    pose_1d = np.load(out_1d / "pose" / "ours_40" / "pose_optimized.npy")
+    np.testing.assert_allclose(pose_sh, pose_1d, atol=2e-3)
+
+    # stages 3-5 on the sharded output
+    from instantsplat_tpu.pipelines.render_pipeline import run_render
+    from instantsplat_tpu.pipelines.metrics_pipeline import run_metrics
+
+    it = run_render(model_sh, iteration=-1, optim_test_pose_iter=10,
+                    test_fps=False, backend="oracle")
+    assert it == 40
+    results = run_metrics([str(out_sh)], source_path=str(scene_sh),
+                          n_views=N_VIEWS)
+    r = results[str(out_sh)]["ours_40"]
+    assert r["PSNR"] is not None and np.isfinite(r["PSNR"])
+    assert "ATE" in r and np.isfinite(r["ATE"])
