@@ -139,15 +139,25 @@ def _main_with_retry():
     if os.environ.get("INSTANTSPLAT_BENCH_RETRY"):
         main()
         return
+    # retry only on known-transient backend signatures; deterministic
+    # failures (and SIGINT) pass straight through
+    transient = ("FAILED_PRECONDITION", "TPU worker crashed",
+                 "TPU backend error", "DEADLINE_EXCEEDED", "UNAVAILABLE")
     env = dict(os.environ, INSTANTSPLAT_BENCH_RETRY="1")
     for attempt in range(2):
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env)
+                              env=env, stderr=subprocess.PIPE)
+        sys.stderr.buffer.write(proc.stderr or b"")
+        sys.stderr.flush()
         if proc.returncode == 0:
             return
-        action = "retrying" if attempt == 0 else "giving up"
-        print(f"bench attempt {attempt + 1} failed (rc={proc.returncode}); "
-              f"{action}", file=sys.stderr)
+        err = (proc.stderr or b"").decode(errors="replace")
+        is_transient = any(sig in err for sig in transient)
+        if proc.returncode < 0 or not is_transient or attempt == 1:
+            # signal (e.g. SIGINT rc=-2) / deterministic / out of retries
+            break
+        print(f"bench attempt {attempt + 1} hit a transient backend "
+              f"failure (rc={proc.returncode}); retrying", file=sys.stderr)
     sys.exit(proc.returncode)
 
 

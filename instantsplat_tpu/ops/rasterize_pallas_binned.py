@@ -578,17 +578,24 @@ def _bin_requirements_impl(mean2d, conic, log_opacity, valid,
     return worst_cf, worst_dl
 
 
+def sizing_margin(cf_raw: float, dl_raw: int) -> tuple[int, int]:
+    """Raw drop-free (cap_factor, d_levels) -> capacities with margin (one
+    cap_factor, two d_levels) for scene drift during training, floored at
+    the module defaults."""
+    import math
+
+    return max(CAP_FACTOR, math.ceil(float(cf_raw)) + 1), \
+        max(D_LEVELS, int(dl_raw) + 2)
+
+
 def bin_requirements(mean2d, conic, log_opacity, valid,
                      height: int, width: int) -> tuple[int, int]:
     """Host-side sizing for backend auto-selection: the (cap_factor,
     d_levels) that make the binned rasterizer drop-free for THIS scene
-    state, plus margin (one cap_factor, two d_levels) for drift during
-    training. Callers that keep training on the binned kernel must still
-    re-probe periodically (pipelines.trainer does) — margins bound drift,
-    they don't eliminate it."""
+    state, plus margin (sizing_margin) for drift during training. Callers
+    that keep training on the binned kernel must still re-probe
+    periodically (pipelines.trainer does) — margins bound drift, they
+    don't eliminate it."""
     cf, dl = _bin_requirements_impl(
         mean2d, conic, log_opacity, valid, height, width)
-    import math
-
-    return max(CAP_FACTOR, math.ceil(float(cf)) + 1), \
-        max(D_LEVELS, int(dl) + 2)
+    return sizing_margin(float(cf), int(dl))

@@ -52,19 +52,14 @@ def resolve_backend(params, camera, pose, bg, backend):
 
     import jax
 
-    from instantsplat_tpu.ops.rasterize_pallas_binned import bin_requirements
     from instantsplat_tpu.pipelines.trainer import (
         _MAX_BINNED_CAP_FACTOR,
         _MAX_BINNED_D_LEVELS,
     )
-    from instantsplat_tpu.render.driver import prepare_sorted_splats
+    from instantsplat_tpu.render.driver import binned_view_requirements
 
     try:
-        (mean2d, conic, log_op, _, _, valid), _ = prepare_sorted_splats(
-            params, pose, camera.fx, camera.fy, camera.cx, camera.cy,
-            jnp.float32(1.0), 0, camera.height, camera.width)
-        cf, dl = bin_requirements(mean2d, conic, log_op, valid,
-                                  camera.height, camera.width)
+        cf, dl = binned_view_requirements(params, pose, camera)
     except Exception:
         return "pallas"
     if cf > _MAX_BINNED_CAP_FACTOR or dl > _MAX_BINNED_D_LEVELS:

@@ -210,16 +210,9 @@ def _binned_candidate(params, camera, trainer_cfg) -> Optional[str]:
     driver's demotion guard enforces), or None when the needed capacity
     is unreasonable."""
     try:
-        from instantsplat_tpu.ops.rasterize_pallas_binned import (
-            bin_requirements,
-        )
-        from instantsplat_tpu.render.driver import prepare_sorted_splats
+        from instantsplat_tpu.render.driver import binned_view_requirements
 
-        (mean2d, conic, log_op, _, _, valid), _ = prepare_sorted_splats(
-            params, params.get_pose(0), camera.fx, camera.fy, camera.cx,
-            camera.cy, jnp.float32(1.0), 0, camera.height, camera.width)
-        cf, dl = bin_requirements(mean2d, conic, log_op, valid,
-                                  camera.height, camera.width)
+        cf, dl = binned_view_requirements(params, params.get_pose(0), camera)
         if cf > _MAX_BINNED_CAP_FACTOR or dl > _MAX_BINNED_D_LEVELS:
             return None
         return f"pallas-binned:{cf}:{dl}"

@@ -282,7 +282,7 @@ _binned_demoted: set = set()
 
 @functools.partial(
     jax.jit, static_argnames=("height", "width"))
-def _binned_sizing_impl(gaussians, pose, fx, fy, cx, cy,
+def _binned_sizing_impl(gaussians, pose, fx, fy, cx, cy, scale_modifier,
                         height: int, width: int):
     """Device probe for binned-bin sizing: (cap_factor float, d_levels int)
     the CURRENT scene state needs, as one jitted program (eager jnp ops are
@@ -292,22 +292,24 @@ def _binned_sizing_impl(gaussians, pose, fx, fy, cx, cy,
     )
 
     (mean2d, conic, log_op, _, _, valid), _ = prepare_sorted_splats(
-        gaussians, pose, fx, fy, cx, cy, jnp.float32(1.0), 0, height, width,
+        gaussians, pose, fx, fy, cx, cy, scale_modifier, 0, height, width,
     )
     return _bin_requirements_impl(mean2d, conic, log_op, valid,
                                   height, width)
 
 
-def binned_view_requirements(gaussians, pose, camera) -> tuple[int, int]:
+def binned_view_requirements(gaussians, pose, camera,
+                             scale_modifier: float = 1.0) -> tuple[int, int]:
     """Host-side (cap_factor, d_levels) this view needs for drop-free
-    binning — raw, no margin (callers max over views and add margin;
-    rasterize_pallas_binned.bin_requirements applies the standard one)."""
-    import math
+    binning, with the standard drift margin applied
+    (rasterize_pallas_binned.sizing_margin) — the sizing both
+    pipelines.trainer's and render_pipeline's backend auto-selection use."""
+    from instantsplat_tpu.ops.rasterize_pallas_binned import sizing_margin
 
     cf, dl = _binned_sizing_impl(
         gaussians, pose, camera.fx, camera.fy, camera.cx, camera.cy,
-        camera.height, camera.width)
-    return math.ceil(float(cf)), int(dl)
+        jnp.float32(scale_modifier), camera.height, camera.width)
+    return sizing_margin(float(cf), int(dl))
 
 
 @functools.partial(
@@ -351,11 +353,18 @@ def _binned_backend_or_dense(gaussians, pose, camera, scale_modifier,
             camera.height, camera.width, cf=cf, dl=dl))
         if overflow:
             _binned_demoted.add(key)
+            if cf is not None:
+                remedy = (f"re-probe binned_view_requirements for fresh "
+                          f"capacities (current cap_factor={cf}, "
+                          f"d_levels={dl})")
+            else:
+                remedy = ("raise rasterize_pallas_binned.CAP_FACTOR / "
+                          "D_LEVELS")
             _log.warning(
                 "binned rasterizer bin capacity exhausted for N=%d %dx%d "
                 "(pairs would be dropped); auto-switching this signature to "
-                "the dense pallas backend. Raise rasterize_pallas_binned."
-                "CAP_FACTOR / D_LEVELS to keep binning.", *key[:3])
+                "the dense pallas backend. To keep binning, %s.",
+                *key[:3], remedy)
     return "pallas" if key in _binned_demoted else backend
 
 

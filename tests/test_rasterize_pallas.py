@@ -246,3 +246,39 @@ def test_bin_requirements_sizes_dropfree_caps():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(got.alpha),
                                np.asarray(ref.alpha), atol=2e-5)
+
+
+def test_binned_view_requirements_scale_modifier():
+    """driver.binned_view_requirements (the sizing trainer/render-pipeline
+    auto-selection uses) matches bin_requirements on the same splats, and a
+    larger scale_modifier grows the required capacities (ADVICE r3: the
+    probe must honor the render's scale)."""
+    import numpy as np
+
+    from instantsplat_tpu.models.camera import Camera
+    from instantsplat_tpu.models.gaussians import GaussianModel
+    from instantsplat_tpu.ops import rasterize_pallas_binned as rb
+    from instantsplat_tpu.render import driver
+
+    ks = jax.random.split(jax.random.PRNGKey(2), 2)
+    pts = jax.random.normal(ks[0], (2048, 3)) * jnp.asarray([2.0, 0.2, 0.01]) \
+        + jnp.asarray([0.0, 0.0, 3.0])
+    cols = jax.random.uniform(ks[1], (2048, 3))
+    poses = jnp.tile(jnp.asarray([1.0, 0, 0, 0, 0, 0, 0]), (1, 1))
+    g = GaussianModel.create_from_pcd(pts, cols, cam_poses=poses,
+                                      max_sh_degree=0)
+    cam = Camera.create(np.eye(3), np.zeros(3), fx=60.0, fy=60.0,
+                        height=32, width=128, uid=0)
+
+    cf1, dl1 = driver.binned_view_requirements(g, g.get_pose(0), cam)
+    (m2, cn, lo, _, _, va), _ = driver.prepare_sorted_splats(
+        g, g.get_pose(0), cam.fx, cam.fy, cam.cx, cam.cy,
+        jnp.float32(1.0), 0, cam.height, cam.width)
+    cf_ref, dl_ref = rb.bin_requirements(m2, cn, lo, va, cam.height,
+                                         cam.width)
+    assert (cf1, dl1) == (cf_ref, dl_ref)
+
+    cf8, dl8 = driver.binned_view_requirements(g, g.get_pose(0), cam,
+                                               scale_modifier=8.0)
+    assert cf8 >= cf1 and dl8 >= dl1
+    assert cf8 > cf1 or dl8 > dl1  # 8x splats must need more somewhere
