@@ -48,37 +48,74 @@ def _resize_long_side(img: Image.Image, size: int) -> Image.Image:
     return img.resize((round(w * scale), round(h * scale)), interp)
 
 
+def _load_one(path, size, square_ok):
+    img = Image.open(path).convert("RGB")
+    orig_wh = img.size
+    img = _resize_long_side(img, size)
+    w, h = img.size
+    cx, cy = w // 2, h // 2
+    halfw, halfh = (w // 16) * 8, (h // 16) * 8
+    if not square_ok and w == h:
+        halfh = 3 * halfw // 4
+    img = img.crop((cx - halfw, cy - halfh, cx + halfw, cy + halfh))
+    return np.asarray(img, np.float32) / 255.0, orig_wh
+
+
 def load_images(paths, size=512, square_ok=False):
     """-> (imgs [V, H, W, 3] float32 in [0,1], true_shape (H, W),
     original (W, H)).
 
     All images must share one resolution after the crop (the sparse-view
     pipeline assumes a single camera; the reference stacks them the same
-    way).
+    way). For mixed-aspect folders use `load_images_mixed`.
     """
     out = []
     orig_wh = None
     for path in paths:
-        img = Image.open(path).convert("RGB")
-        orig_wh = img.size
-        img = _resize_long_side(img, size)
-        w, h = img.size
-        cx, cy = w // 2, h // 2
-        halfw, halfh = (w // 16) * 8, (h // 16) * 8
-        if not square_ok and w == h:
-            halfh = 3 * halfw // 4
-        img = img.crop((cx - halfw, cy - halfh, cx + halfw, cy + halfh))
-        out.append(np.asarray(img, np.float32) / 255.0)
+        arr, orig_wh = _load_one(path, size, square_ok)
+        out.append(arr)
     shapes = {o.shape for o in out}
     if len(shapes) > 1:
         raise ValueError(
-            f"mixed image shapes after resize/crop: {sorted(shapes)} — the "
-            "sparse-view pipeline assumes one camera per scene. For "
-            "mixed-aspect pair inference use "
-            "models.mast3r_infer.infer_pairs_mixed."
+            f"mixed image shapes after resize/crop: {sorted(shapes)} — use "
+            "load_images_mixed (pipelines route mixed-aspect scenes "
+            "through it automatically)."
         )
     arr = np.stack(out)
     return arr, arr.shape[1:3], orig_wh
+
+
+def load_images_mixed(paths, size=512, square_ok=False):
+    """Mixed-aspect loader (reference behavior: dust3r inference tolerates
+    mixed shapes by forcing batch_size=1, dust3r/inference.py:62-64).
+
+    -> (imgs: list of [H_i, W_i, 3] float32 in [0,1],
+        shapes: [V, 2] int (H_i, W_i),
+        org_whs: list of original (W, H) per image).
+    """
+    imgs, org_whs = [], []
+    for path in paths:
+        arr, orig_wh = _load_one(path, size, square_ok)
+        imgs.append(arr)
+        org_whs.append(orig_wh)
+    shapes = np.array([im.shape[:2] for im in imgs], np.int64)
+    return imgs, shapes, org_whs
+
+
+def pad_to_canvas(maps, canvas_hw=None, fill=0.0):
+    """Stack per-image maps of mixed shapes onto one canvas, each placed
+    at the top-left corner. maps: list of [H_i, W_i, ...]; canvas_hw
+    defaults to the max extent over `maps`. Returns [V, Hc, Wc, ...]."""
+    if canvas_hw is None:
+        canvas_hw = (max(np.asarray(m).shape[0] for m in maps),
+                     max(np.asarray(m).shape[1] for m in maps))
+    hm, wm = int(canvas_hw[0]), int(canvas_hw[1])
+    first = np.asarray(maps[0])
+    out = np.full((len(maps), hm, wm) + first.shape[2:], fill, first.dtype)
+    for v, m in enumerate(maps):
+        h, w = np.asarray(m).shape[:2]
+        out[v, :h, :w] = m
+    return out
 
 
 def load_images_from_dir(image_dir, size=512):

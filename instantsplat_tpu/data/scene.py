@@ -72,13 +72,25 @@ def save_extrinsics(sparse_path, w2c_list, img_files, image_suffix):
 
 def save_intrinsics(sparse_path, focals, org_wh, model_hw, save_focals=False):
     """cameras.{bin,txt}: PINHOLE at the ORIGINAL resolution with the model
-    focal scaled up (sfm_utils.py:230-247)."""
+    focal scaled up (sfm_utils.py:230-247).
+
+    org_wh / model_hw: one (W, H) / (H, W) shared by all views, or lists
+    with one entry per view (mixed-aspect scenes — each image gets its own
+    camera record; extrinsics already write camera_id per image)."""
     sparse_path = Path(sparse_path)
-    org_w, org_h = org_wh
-    h, w = model_hw
-    sx, sy = org_w / w, org_h / h
+    focals = np.asarray(focals).ravel()
+    n = len(focals)
+    org_whs = (list(org_wh) if isinstance(org_wh[0], (tuple, list,
+                                                      np.ndarray))
+               else [org_wh] * n)
+    model_hws = (list(model_hw) if isinstance(model_hw[0], (tuple, list,
+                                                            np.ndarray))
+                 else [model_hw] * n)
     cams = {}
-    for i, focal in enumerate(np.asarray(focals).ravel(), start=1):
+    for i, focal in enumerate(focals, start=1):
+        org_w, org_h = org_whs[i - 1]
+        h, w = model_hws[i - 1]
+        sx, sy = org_w / w, org_h / h
         cams[i] = colmap.ColmapCamera(
             id=i, model="PINHOLE", width=int(org_w), height=int(org_h),
             params=np.array(

@@ -65,6 +65,12 @@ class PairPrediction:
     pred_j: np.ndarray  # [E, H, W, 3]
     conf_i: np.ndarray  # [E, H, W]
     conf_j: np.ndarray  # [E, H, W]
+    # Mixed-aspect scenes (reference: dust3r/inference.py:62-64 runs them
+    # at batch_size=1): maps live on one (Hmax, Wmax) canvas, each image's
+    # true raster at the top-left; shapes[v] = its (h, w). Padded pixels
+    # MUST carry conf == 1.0 — the aligner's log-conf loss weight is then
+    # exactly 0 (genuine MASt3R confs are 1 + exp(x) > 1). None = uniform.
+    shapes: np.ndarray | None = None
 
     @property
     def n_imgs(self):
@@ -110,6 +116,12 @@ class GlobalAligner:
         self.base_scale = base_scale
         self.pw_break = pw_break
         self.focal_break = focal_break
+        # per-image true rasters (mixed-aspect canvases; see PairPrediction)
+        if preds.shapes is not None:
+            self.shapes = np.asarray(preds.shapes, np.int64)
+        else:
+            self.shapes = np.tile([self.H, self.W], (self.n_imgs, 1))
+        self.mixed = bool((self.shapes != [self.H, self.W]).any())
 
         # per-image confidence = max over all edge predictions touching it
         # (base_opt.py:128-141 _compute_img_conf)
@@ -126,13 +138,12 @@ class GlobalAligner:
                 (self.n_imgs, 7)).astype(np.float32),
             "im_depth": (rng.standard_normal(
                 (self.n_imgs, self.area)) / 10 - 3).astype(np.float32),
-            "im_focals": np.full(
-                (self.n_imgs, 1),
-                focal_break * np.log(max(self.H, self.W)), np.float32),
+            "im_focals": (focal_break * np.log(
+                self.shapes.max(axis=1, keepdims=True))).astype(np.float32),
         }
-        self.pp = np.tile(
-            np.array([self.W / 2.0, self.H / 2.0], np.float32),
-            (self.n_imgs, 1))
+        # principal points at each image's TRUE raster center
+        self.pp = np.stack([self.shapes[:, 1] / 2.0,
+                            self.shapes[:, 0] / 2.0], -1).astype(np.float32)
         self.focals_frozen = False
         self.poses_frozen = False
         self.norm_pw_scale = True
@@ -141,10 +152,16 @@ class GlobalAligner:
     # host-side initialization
     # ------------------------------------------------------------------
 
+    def _cut(self, arr, v):
+        """Slice a canvas map down to image v's true raster (no-op for
+        uniform-shape scenes)."""
+        h, w = self.shapes[v]
+        return arr[:h, :w]
+
     def _edge_scores(self):
         return {
-            (i, j): float(self.preds.conf_i[e].mean()
-                          * self.preds.conf_j[e].mean())
+            (i, j): float(self._cut(self.preds.conf_i[e], i).mean()
+                          * self._cut(self.preds.conf_j[e], j).mean())
             for e, (i, j) in enumerate(self.edges)
         }
 
@@ -172,10 +189,17 @@ class GlobalAligner:
             graph[e] = -v
         msp = sp.csgraph.minimum_spanning_tree(graph.tocsr()).tocoo()
 
-        pred_i = {e: self.preds.pred_i[k] for e, k in self.edge_index.items()}
-        pred_j = {e: self.preds.pred_j[k] for e, k in self.edge_index.items()}
-        conf_i = {e: self.preds.conf_i[k] for e, k in self.edge_index.items()}
-        conf_j = {e: self.preds.conf_j[k] for e, k in self.edge_index.items()}
+        # per-edge views cut to the owning image's true raster (mixed-
+        # aspect canvases carry conf-1.0 padding that must not feed the
+        # host-side registrations)
+        pred_i = {e: self._cut(self.preds.pred_i[k], e[0])
+                  for e, k in self.edge_index.items()}
+        pred_j = {e: self._cut(self.preds.pred_j[k], e[1])
+                  for e, k in self.edge_index.items()}
+        conf_i = {e: self._cut(self.preds.conf_i[k], e[0])
+                  for e, k in self.edge_index.items()}
+        conf_j = {e: self._cut(self.preds.conf_j[k], e[1])
+                  for e, k in self.edge_index.items()}
 
         pts3d = [None] * self.n_imgs
         im_poses = [None] * self.n_imgs
@@ -297,7 +321,8 @@ class GlobalAligner:
         # per-edge sim3 onto the fused cloud (init_im_poses.py:92-133)
         for e, (i, j) in enumerate(self.edges):
             s, R, T = G.rigid_points_registration(
-                self.preds.pred_i[e], pts3d[i], conf=self.preds.conf_i[e])
+                self._cut(self.preds.pred_i[e], i), pts3d[i],
+                conf=self._cut(self.preds.conf_i[e], i))
             self._set_pose(self.params["pw_poses"], e, R, T, scale=s)
 
         if self.norm_pw_scale:
@@ -314,8 +339,18 @@ class GlobalAligner:
             pts_w = np.asarray(pts3d[i], np.float64) * s_factor
             depth = G.geotrf(np.linalg.inv(cam2world),
                              pts_w.reshape(-1, 3))[:, 2]
-            self.params["im_depth"][i] = np.log(
-                np.clip(depth, 1e-8, None)).astype(np.float32)
+            log_d = np.log(np.clip(depth, 1e-8, None)).astype(np.float32)
+            h, w = self.shapes[i]
+            if (h, w) == (self.H, self.W):
+                self.params["im_depth"][i] = log_d
+            else:
+                # canvas scatter: true raster at the top-left; padded
+                # pixels hold the valid median (zero-weight in the loss,
+                # but exp() of them must stay sane)
+                canvas = np.full((self.H, self.W), np.median(log_d),
+                                 np.float32)
+                canvas[:h, :w] = log_d.reshape(h, w)
+                self.params["im_depth"][i] = canvas.ravel()
             self._set_pose(self.params["im_poses"], i,
                            cam2world[:3, :3], cam2world[:3, 3])
             if im_focals[i] is not None:
@@ -521,6 +556,13 @@ class GlobalAligner:
         """Raw log-depth params — what init_geo.py:58 passes to the co-vis
         mask computation (reference quirk: un-exponentiated)."""
         return self.params["im_depth"].reshape(self.n_imgs, self.H, self.W)
+
+    def get_valid_masks(self):
+        """[V, H, W] bool: True on each image's true raster (all-True for
+        uniform-shape scenes; mixed-aspect canvases mask the padding)."""
+        gy, gx = np.mgrid[:self.H, :self.W]
+        return ((gy[None] < self.shapes[:, 0, None, None])
+                & (gx[None] < self.shapes[:, 1, None, None]))
 
     def get_pts3d(self):
         """[V, H, W, 3] world-space pointmaps."""

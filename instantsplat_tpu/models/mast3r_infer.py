@@ -231,7 +231,31 @@ def make_pointmap_fn(ckpt_path: str, batch_size: int = 8,
         params = mast3r.load_checkpoint(ckpt_path, cfg)
 
     def fn(images, pairs):
-        return infer_pairs(params, cfg, images, pairs,
+        if isinstance(images, (list, tuple)) and len(
+                {np.asarray(im).shape[:2] for im in images}) > 1:
+            results = infer_pairs_mixed(params, cfg, images, pairs,
+                                        batch_size=batch_size, dtype=dtype)
+            shapes = np.array([np.asarray(im).shape[:2] for im in images])
+            return mixed_results_to_prediction(results, pairs, shapes)
+        return infer_pairs(params, cfg, np.asarray(images), pairs,
                            batch_size=batch_size, mesh=mesh, dtype=dtype)
 
     return fn
+
+
+def mixed_results_to_prediction(results, pairs, shapes):
+    """Assemble infer_pairs_mixed's per-pair maps (each in its image's own
+    raster) into a canvas-padded PairPrediction for the aligner: maps at
+    the top-left of a (Hmax, Wmax) canvas, confidence padding = 1.0 (zero
+    log-conf loss weight — see PairPrediction.shapes)."""
+    from instantsplat_tpu.data.images import pad_to_canvas
+
+    shapes = np.asarray(shapes)
+    canvas = (int(shapes[:, 0].max()), int(shapes[:, 1].max()))
+    pred_i = pad_to_canvas([r["pred_i"] for r in results], canvas)
+    pred_j = pad_to_canvas([r["pred_j"] for r in results], canvas)
+    conf_i = pad_to_canvas([r["conf_i"] for r in results], canvas, fill=1.0)
+    conf_j = pad_to_canvas([r["conf_j"] for r in results], canvas, fill=1.0)
+    return PairPrediction(
+        edges=[tuple(p) for p in pairs], pred_i=pred_i, pred_j=pred_j,
+        conf_i=conf_i, conf_j=conf_j, shapes=np.asarray(shapes))

@@ -65,7 +65,20 @@ def run_init_geo(
     else:
         train_files, test_files, _, _ = scene_io.split_train_test(
             image_files, n_views)
-    imgs, (h, w), org_wh = image_io.load_images(train_files, size=image_size)
+    imgs_list, shapes, org_whs = image_io.load_images_mixed(
+        train_files, size=image_size)
+    mixed = len({tuple(s) for s in shapes}) > 1
+    if mixed:
+        # mixed-aspect capture (reference runs these at batch_size=1,
+        # dust3r/inference.py:62-64): per-image rasters ride a shared
+        # (Hmax, Wmax) canvas through the aligner; the pointmap backend
+        # dispatches to shape-grouped batched inference
+        imgs = imgs_list
+        h, w = int(shapes[:, 0].max()), int(shapes[:, 1].max())
+    else:
+        imgs = np.stack(imgs_list)
+        h, w = imgs.shape[1:3]
+    org_wh = org_whs[-1]
 
     t0 = time.time()
     pairs = make_pair_indices(len(train_files), "complete", symmetrize=True)
@@ -87,7 +100,7 @@ def run_init_geo(
     else:
         sorted_conf_indices = np.arange(n_views)
 
-    if depth_thre > 0:
+    if depth_thre > 0 and not mixed:
         # reference quirk preserved: the raw LOG depth params feed the
         # min-max-normalized depth comparison (init_geo.py:58,74-76)
         overlapping = covis.compute_co_vis_masks(
@@ -96,8 +109,19 @@ def run_init_geo(
             depth_threshold=depth_thre)
         keep_masks = ~overlapping
     else:
+        if mixed and depth_thre > 0:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "co-visibility masking skipped for the mixed-aspect scene "
+                "(the cross-projection assumes one raster); padding is "
+                "masked instead")
         co_vis_dsp = False
         keep_masks = None
+    if mixed:
+        # always mask the canvas padding out of the fused point cloud
+        keep_masks = aligner.get_valid_masks()
+        co_vis_dsp = True
     scene_io.save_time(model_path, "[1] coarse_init_TrainTime",
                        time.time() - t0)
 
@@ -107,20 +131,28 @@ def run_init_geo(
             extrinsics_w2c, len(test_files))
         scene_io.save_extrinsics(sparse_1, pose_test_init, test_files,
                                  image_suffix)
+        # mixed-aspect: test records borrow the FIRST train view's sizes
+        # (the reference writes one train-derived record set too)
         scene_io.save_intrinsics(
-            sparse_1, np.repeat(focals[0], len(test_files)), org_wh, (h, w))
+            sparse_1, np.repeat(focals[0], len(test_files)),
+            org_whs[0] if mixed else org_wh,
+            tuple(shapes[0]) if mixed else (h, w))
 
     scene_io.save_time(model_path, "[1] init_geo", time.time() - t0)
     scene_io.save_extrinsics(sparse_0, extrinsics_w2c, train_files,
                              image_suffix)
     scene_io.save_intrinsics(
-        sparse_0, np.repeat(focals[0], n_views), org_wh, (h, w),
+        sparse_0, np.repeat(focals[0], n_views),
+        org_whs if mixed else org_wh,
+        [tuple(s) for s in shapes] if mixed else (h, w),
         save_focals=True)
+    canvas_imgs = image_io.pad_to_canvas(imgs_list, (h, w)) if mixed else imgs
     scene_io.save_points3d(
-        sparse_0, imgs, pts3d, confs, masks=keep_masks,
+        sparse_0, canvas_imgs, pts3d, confs, masks=keep_masks,
         use_masks=co_vis_dsp, save_all_pts=save_all_pts,
         save_txt_path=model_path, depth_threshold=depth_thre)
-    save_images_and_masks(sparse_0, n_views, imgs, keep_masks,
+    save_images_and_masks(sparse_0, n_views, imgs_list,
+                          None if mixed else keep_masks,
                           train_files, image_suffix)
     return aligner
 

@@ -121,7 +121,9 @@ def make_train_step(
         cam = jax.tree.map(lambda x: x[view_idx], cameras)
 
         def loss_fn(p: GaussianModel):
-            pose = p.get_pose(view_idx)
+            # pose keyed by the camera's uid (== its global view index;
+            # view_idx may be group-local on mixed-aspect scenes)
+            pose = p.get_pose(cam.uid)
             rgb = _render_rgb(p, cam, pose, bg, active_sh, chunk, backend,
                               mesh, shard_axis)
             loss, aux = photometric_loss(rgb, cam.image, lambda_dssim)
@@ -175,7 +177,7 @@ def make_train_scan(
             cam = jax.tree.map(lambda c: c[view_idx], cameras)
 
             def loss_fn(pp: GaussianModel):
-                pose = pp.get_pose(view_idx)
+                pose = pp.get_pose(cam.uid)
                 rgb = _render_rgb(pp, cam, pose, bg, active_sh, chunk,
                                   backend, mesh, shard_axis)
                 loss, aux = photometric_loss(rgb, cam.image, lambda_dssim)
@@ -248,7 +250,12 @@ def train_joint(
     scanned/governed loop is then sharded per trainer_cfg.shard_axis
     (parallel/sharding.py), with Gaussian/pose gradients psum'd over ICI.
     """
-    stacked = stack_cameras(cameras)
+    # Mixed-aspect scenes (e.g. portrait + landscape phone captures; the
+    # reference trains these per-view at each image's own shape): group
+    # views by raster, one compiled step per shape, random view order
+    # preserved exactly. Uniform scenes use the scanned/governed loop.
+    mixed_shapes = len({(c.height, c.width) for c in cameras}) > 1
+    stacked = None if mixed_shapes else stack_cameras(cameras)
     n_views = len(cameras)
     bg = jnp.ones(3) if trainer_cfg.white_background else jnp.zeros(3)
 
@@ -292,7 +299,7 @@ def train_joint(
         if progress_cb is not None:
             progress_cb(it, m)
 
-    use_scan = trainer_cfg.scan and viewer is None
+    use_scan = trainer_cfg.scan and viewer is None and not mixed_shapes
     if use_scan:
         import os as _os
 
@@ -408,19 +415,44 @@ def train_joint(
             it = end + 1
         return params, opt_state, history
 
-    step_fn = make_train_step(
-        optimizer, stacked, bg, opt_cfg.lambda_dssim,
-        "pallas" if trainer_cfg.backend == "auto" and mesh is not None
-        else trainer_cfg.backend,
-        trainer_cfg.chunk, mesh=mesh, shard_axis=trainer_cfg.shard_axis,
-    )
+    backend = trainer_cfg.backend
+    if backend == "auto" and (mesh is not None or mixed_shapes):
+        backend = "pallas"
+    if mixed_shapes:
+        groups: dict[tuple, list[int]] = {}
+        for idx, c in enumerate(cameras):
+            groups.setdefault((c.height, c.width), []).append(idx)
+        step_of_shape = {
+            s: make_train_step(
+                optimizer, stack_cameras([cameras[i] for i in idxs]), bg,
+                opt_cfg.lambda_dssim, backend, trainer_cfg.chunk,
+                mesh=mesh, shard_axis=trainer_cfg.shard_axis)
+            for s, idxs in groups.items()
+        }
+        local_of = {gi: (s, k) for s, idxs in groups.items()
+                    for k, gi in enumerate(idxs)}
+
+        def run_step(view_idx, it, active_sh, p, st):
+            s, k = local_of[view_idx]
+            return step_of_shape[s](p, st, jnp.int32(k), jnp.int32(it),
+                                    active_sh)
+    else:
+        step_fn = make_train_step(
+            optimizer, stacked, bg, opt_cfg.lambda_dssim, backend,
+            trainer_cfg.chunk, mesh=mesh, shard_axis=trainer_cfg.shard_axis,
+        )
+
+        def run_step(view_idx, it, active_sh, p, st):
+            return step_fn(p, st, jnp.int32(view_idx), jnp.int32(it),
+                           active_sh)
+
     for it in range(first_iter + 1, trainer_cfg.iterations + 1):
         if viewer is not None:
             _serve_viewer(viewer, params, trainer_cfg)
         view_idx = next_view()
         active_sh = min(it // trainer_cfg.sh_up_interval, params.max_sh_degree)
-        params, opt_state, metrics = step_fn(
-            params, opt_state, jnp.int32(view_idx), jnp.int32(it), active_sh
+        params, opt_state, metrics = run_step(
+            view_idx, it, active_sh, params, opt_state
         )
         if it % trainer_cfg.log_every == 0 or it == trainer_cfg.iterations:
             log(it, metrics)

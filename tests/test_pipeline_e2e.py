@@ -340,3 +340,119 @@ def test_full_pipeline_multichip(tmp_path):
     r = results[str(out_sh)]["ours_40"]
     assert r["PSNR"] is not None and np.isfinite(r["PSNR"])
     assert "ATE" in r and np.isfinite(r["ATE"])
+
+
+@pytest.mark.slow
+def test_full_pipeline_mixed_aspect(tmp_path):
+    """A MIXED portrait+landscape capture runs stages 1-5 (VERDICT r3
+    item 9; reference behavior: dust3r/inference.py:62-64 forces bs=1 on
+    mixed shapes). Stage 1 rides the shape-grouped canvas path
+    (PairPrediction.shapes), the COLMAP writer emits per-image camera
+    records, and the trainer groups views by raster."""
+    scene_dir = tmp_path / "scene"
+    out_dir = tmp_path / "out"
+    (scene_dir / "images").mkdir(parents=True)
+
+    shapes = [(H, W) if v % 2 == 0 else (W, H) for v in range(N_IMAGES)]
+    gx_cache = {}
+    c2ws, pts_world, pts_cam, images = [], [], [], []
+    for v, (h, w) in enumerate(shapes):
+        if (h, w) not in gx_cache:
+            gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+            gx_cache[(h, w)] = np.stack(
+                [(gx - w / 2) / FOCAL, (gy - h / 2) / FOCAL,
+                 np.ones_like(gx)], -1)
+        dirs = gx_cache[(h, w)]
+        ang = 0.05 * (v - (N_IMAGES - 1) / 2)
+        R = _rot_y(ang)
+        center = np.array([1.5 * np.sin(ang), 0.02 * v,
+                           -1.5 * (1 - np.cos(ang))])
+        m = np.eye(4)
+        m[:3, :3] = R
+        m[:3, 3] = center
+        c2ws.append(m)
+        d_world = dirs @ R.T
+        lam = (3.0 - center[2]) / d_world[..., 2]
+        pw = center + lam[..., None] * d_world
+        pts_world.append(pw)
+        pts_cam.append((pw - center) @ R)
+        images.append(_texture(pw[..., 0], pw[..., 1]))
+    c2ws = np.stack(c2ws)
+
+    for v in range(N_IMAGES):
+        image_io.save_image(scene_dir / "images" / f"frame_{v:04d}.png",
+                            images[v])
+    files = [f"frame_{v:04d}.png" for v in range(N_IMAGES)]
+    (scene_dir / "sparse" / "0").mkdir(parents=True)
+    scene_io.save_extrinsics(scene_dir / "sparse" / "0",
+                             np.linalg.inv(c2ws), files, ".png")
+    _, _, train_idx, _ = scene_io.split_train_test(files, N_VIEWS)
+    assert len({shapes[t] for t in train_idx}) > 1  # genuinely mixed
+
+    from instantsplat_tpu.models.mast3r_infer import (
+        mixed_results_to_prediction,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def oracle_mixed(imgs, pairs):
+        assert isinstance(imgs, list)  # the pipeline's mixed path
+        results = []
+        for i, j in pairs:
+            gi, gj = train_idx[i], train_idx[j]
+            pi = pts_cam[gi].astype(np.float32)
+            pj = ((pts_world[gj] - c2ws[gi, :3, 3])
+                  @ c2ws[gi, :3, :3]).astype(np.float32)
+            results.append(dict(
+                pred_i=pi, pred_j=pj,
+                conf_i=(1.0 + np.exp(rng.random(pi.shape[:2]))).astype(
+                    np.float32),
+                conf_j=(1.05 + np.exp(rng.random(pj.shape[:2]))).astype(
+                    np.float32)))
+        local_shapes = np.array([shapes[t] for t in train_idx])
+        return mixed_results_to_prediction(results, pairs, local_shapes)
+
+    # ---- stage 1 ----
+    from instantsplat_tpu.pipelines.init_geo_pipeline import run_init_geo
+
+    run_init_geo(scene_dir, out_dir, oracle_mixed, n_views=N_VIEWS,
+                 image_size=max(H, W), niter=40, focal_avg=True,
+                 depth_thre=0.0)
+    sparse0 = scene_dir / f"sparse_{N_VIEWS}" / "0"
+    cams = colmap.read_cameras_text(sparse0 / "cameras.txt")
+    sizes = {(c.width, c.height) for c in cams.values()}
+    assert len(sizes) > 1, sizes  # per-image camera records
+    for c in cams.values():
+        assert abs(c.params[0] - FOCAL) / FOCAL < 0.06
+
+    # fused cloud holds only true-raster points (canvas padding masked)
+    from instantsplat_tpu.data import ply as ply_io
+
+    pts, _ = ply_io.fetch_point_cloud(sparse0 / "points3D.ply")
+    expect = sum(shapes[t][0] * shapes[t][1] for t in train_idx)
+    assert len(pts) == expect
+
+    # ---- stages 2-5 ----
+    from instantsplat_tpu.pipelines.config import ModelParams
+    from instantsplat_tpu.pipelines.train_pipeline import run_training
+    from instantsplat_tpu.pipelines.trainer import TrainerConfig
+    from instantsplat_tpu.pipelines.render_pipeline import run_render
+    from instantsplat_tpu.pipelines.metrics_pipeline import run_metrics
+    from instantsplat_tpu.opt.gaussian_opt import OptimizationConfig
+
+    model = ModelParams(source_path=str(scene_dir), model_path=str(out_dir),
+                        n_views=N_VIEWS)
+    params, history = run_training(
+        model, OptimizationConfig(optim_pose=True),
+        TrainerConfig(iterations=30, backend="oracle", log_every=10))
+    losses = [m["loss"] for _, m in history]
+    assert losses[-1] < losses[0]
+
+    it = run_render(model, iteration=-1, optim_test_pose_iter=6,
+                    test_fps=False, backend="oracle")
+    assert it == 30
+    results = run_metrics([str(out_dir)], source_path=str(scene_dir),
+                          n_views=N_VIEWS)
+    r = results[str(out_dir)]["ours_30"]
+    assert r["PSNR"] is not None and np.isfinite(r["PSNR"])
+    assert "ATE" in r and np.isfinite(r["ATE"])
