@@ -29,9 +29,15 @@ the jitted loss, so a parent update moves its whole subtree coherently
 (the conditioning win the reference gets from the chain). Set
 `kinematic_chain=False` for free per-image poses.
 
-Remaining deviation from the reference (documented): per-pixel
-core_depth stays fixed at the predicted pointmaps — per-pixel depth
-refinement lives in init/depth_refine.py instead.
+Per-pixel depth optimization (sparse_ga.py:355-392 core_depth, trainable
+in the fine phase only, sparse_ga.py:440-453): the reference stores
+per-anchor depth values on a `subsample` grid and unprojects matched
+pixels through them. Here each constraint point carries a learnable
+per-anchor-cell LOG DEPTH SCALE — scaling a camera-frame point moves it
+along its own pixel ray (pinhole invariant), so `p_eff = p * exp(dscale)`
+is exactly the reference's anchor-grid depth freedom without re-deriving
+rays, and it stays one fixed-shape [V * n_cells] tensor for XLA. Frozen
+in the coarse phase, optimized in the fine phase (opt_depth=True).
 """
 
 from __future__ import annotations
@@ -266,6 +272,10 @@ class SparseGAResult(NamedTuple):
     scales: np.ndarray  # [V]
     focals: np.ndarray  # [V]
     loss: float
+    # fine-phase per-anchor-cell log depth scales [V, ceil(H/ss), ceil(W/ss)]
+    # (0 = predicted depth; the reference returns refined depthmaps the
+    # same way, sparse_ga.py:436-438). None when opt_depth=False.
+    depth_scales: Optional[np.ndarray] = None
 
 
 def _gamma_np(gamma):
@@ -295,6 +305,9 @@ def sparse_global_alignment(
     anchor3d_w=10.0,
     focals: Optional[np.ndarray] = None,
     kinematic_chain=True,
+    opt_depth=True,
+    depth_reg_w=1.0,
+    depth_lr_scale=0.3,
     seed=0,
 ):
     """-> SparseGAResult(c2w [V,4,4], scales [V], focals [V], loss).
@@ -304,7 +317,9 @@ def sparse_global_alignment(
     gamma 1.1; lr2=0.02/niter2=500/gamma 0.4) scaled to this
     parameterization; `focals` overrides the per-image Weiszfeld init.
     `kinematic_chain` parameterizes poses relative to the match-MST parent
-    (sparse_ga.py:254-260); False = free per-image poses.
+    (sparse_ga.py:254-260); False = free per-image poses. `opt_depth`
+    optimizes per-anchor-cell depth scales in the fine phase
+    (sparse_ga.py:453 opt_depth; see module docstring).
     """
     import jax
     import jax.numpy as jnp
@@ -357,8 +372,12 @@ def sparse_global_alignment(
             cw = np.asarray(preds.conf_j[e])[grid[:, 1], grid[:, 0]]
             wgt.append(np.log(np.clip(cw, 1e-8, None)))
             strong.append(np.zeros(len(grid), bool))
-    ai = jnp.asarray(np.concatenate(ai), jnp.int32)
-    aj = jnp.asarray(np.concatenate(aj), jnp.int32)
+    ai_np = np.concatenate(ai)
+    aj_np = np.concatenate(aj)
+    x1_np = np.concatenate(x1)
+    x2_np = np.concatenate(x2)
+    ai = jnp.asarray(ai_np, jnp.int32)
+    aj = jnp.asarray(aj_np, jnp.int32)
     pi = jnp.asarray(np.concatenate(pi), jnp.float32)
     pj_np_list = pj
     pj = jnp.asarray(np.concatenate(pj), jnp.float32)
@@ -375,6 +394,23 @@ def sparse_global_alignment(
     w_weak = wgt * (1 - strong)
     n_strong = jnp.maximum(jnp.sum(w_strong), 1e-8)
     n_weak = jnp.maximum(jnp.sum(w_weak), 1e-8)
+
+    # per-anchor-cell depth-scale slots (reference core_depth lives on the
+    # same subsample grid, sparse_ga.py:136-147): constraint row -> slot
+    # (image, cell). The i-side of a weak row is a cross-frame prediction
+    # (pred_j in i's frame), not i's own ray — its slot is gated off by
+    # the `strong` flag inside world_points.
+    wa = -(-w // subsample)
+    n_cells = wa * (-(-h // subsample))
+
+    def _slots(img_arr, xy_arr):
+        cy = xy_arr[:, 1].astype(np.int64) // subsample
+        cx = xy_arr[:, 0].astype(np.int64) // subsample
+        return img_arr.astype(np.int64) * n_cells + cy * wa + cx
+
+    slot_i = jnp.asarray(_slots(ai_np, x1_np), jnp.int32)
+    slot_j = jnp.asarray(_slots(aj_np, x2_np), jnp.int32)
+    strong_f = strong.astype(jnp.float32)
 
     # per-image focal init (Weiszfeld on the own-frame pointmap,
     # dust3r/post_process.py:33-56), pp at the image center
@@ -395,6 +431,8 @@ def sparse_global_alignment(
             + rng.standard_normal((v, 8)) * 0.01, jnp.float32),
         log_focal=jnp.asarray(np.log(f0), jnp.float32),
         pp=jnp.asarray(np.tile([w / 2.0, h / 2.0], (v, 1)), jnp.float32),
+        # log depth scale per (image, anchor cell); 0 = predicted depth
+        log_dscale=jnp.zeros(v * n_cells, jnp.float32),
     )
 
     # kinematic chain over the match-strength MST (sparse_ga.py:254-260):
@@ -437,9 +475,25 @@ def sparse_global_alignment(
                      0.25 * diag, 10.0 * diag)  # sparse_ga.py:226-228
         return R, t, s, f, p["pp"]
 
-    def world_points(R, t, s):
-        w1 = jnp.einsum("nij,nj->ni", R[ai], pi) * s[ai][:, None] + t[ai]
-        w2 = jnp.einsum("nij,nj->ni", R[aj], pj) * s[aj][:, None] + t[aj]
+    f0_ref = jnp.asarray(f0, jnp.float32)
+
+    def world_points(R, t, s, dsc, f=None):
+        # moving a camera-frame point along its pixel ray == scaling it
+        # (the reference's core_depth freedom, sparse_ga.py:355-392). With
+        # `f`, depths additionally ride the current/initial focal ratio —
+        # the reference's smart reparameterization (sparse_ga.py:243-246
+        # z_cameras ∝ focal) that keeps a focal move from fighting every
+        # per-anchor depth radially.
+        di = dsc[slot_i] * strong_f
+        dj = dsc[slot_j]
+        if f is not None:
+            fr = jnp.log(f / f0_ref)
+            di = di + fr[ai] * strong_f
+            dj = dj + fr[aj]
+        pi_eff = pi * jnp.exp(di)[:, None]
+        pj_eff = pj * jnp.exp(dj)[:, None]
+        w1 = jnp.einsum("nij,nj->ni", R[ai], pi_eff) * s[ai][:, None] + t[ai]
+        w2 = jnp.einsum("nij,nj->ni", R[aj], pj_eff) * s[aj][:, None] + t[aj]
         return w1, w2
 
     def loss_weak(w1, w2):
@@ -448,7 +502,7 @@ def sparse_global_alignment(
 
     def loss_coarse(p):
         R, t, s, _, _ = decode(p)
-        w1, w2 = world_points(R, t, s)
+        w1, w2 = world_points(R, t, s, p["log_dscale"])
         d = jnp.sqrt(jnp.sum((w1 - w2) ** 2, -1) + 1e-12) / scene_norm
         l3d = jnp.sum(g1(d) * w_strong) / n_strong
         return l3d + loss_dust3r_w * loss_weak(w1, w2)
@@ -460,11 +514,18 @@ def sparse_global_alignment(
 
     def loss_fine(p):
         R, t, s, f, pp = decode(p)
-        w1, w2 = world_points(R, t, s)
+        # depth freedom lives in the REPROJECTION term only (the
+        # reference's core_depth feeds loss_2d, sparse_ga.py:377-392); the
+        # 3D anchor below stays on the predicted depths so it keeps
+        # pinning the metric structure instead of being absorbed by
+        # per-anchor depth motion (measured: translation error 0.07 ->
+        # 0.35 when the anchor term sees optimized depths)
+        w1d, w2d = world_points(R, t, s, p["log_dscale"], f=f)
+        w1, w2 = world_points(R, t, s, jnp.zeros_like(p["log_dscale"]))
         # project the OTHER side's 3D point into this image vs the matched
         # pixel (sparse_ga.py:377-392), both directions
-        u1 = reproj(R[ai], t[ai], s[ai], f[ai], pp[ai], w2)
-        u2 = reproj(R[aj], t[aj], s[aj], f[aj], pp[aj], w1)
+        u1 = reproj(R[ai], t[ai], s[ai], f[ai], pp[ai], w2d)
+        u2 = reproj(R[aj], t[aj], s[aj], f[aj], pp[aj], w1d)
         d1 = jnp.sqrt(jnp.sum((u1 - x1) ** 2, -1) + 1e-12)
         d2 = jnp.sqrt(jnp.sum((u2 - x2) ** 2, -1) + 1e-12)
         l2d = jnp.sum((g2(d1) + g2(d2)) * w_strong) / (2 * n_strong)
@@ -478,8 +539,14 @@ def sparse_global_alignment(
         # (sparse_ga.py:254-283)
         d3 = jnp.sqrt(jnp.sum((w1 - w2) ** 2, -1) + 1e-12) / scene_norm
         l3d = jnp.sum(g1(d3) * w_strong) / n_strong
+        # depth-scale prior toward the predictions: without it the
+        # per-anchor freedom absorbs pose error (measured: translation
+        # error 0.07 -> 0.35 on the exact-pointmap synthetic scene)
+        dsc = p["log_dscale"]
+        reg = jnp.mean(dsc[slot_j] ** 2 + strong_f * dsc[slot_i] ** 2)
         return (l2d + anchor3d_w * l3d
-                + loss_dust3r_w * loss_weak(w1, w2))
+                + loss_dust3r_w * loss_weak(w1, w2)
+                + depth_reg_w * reg)
 
     def make_run(loss_fn, fine: bool):
         @functools.partial(jax.jit, static_argnames=("niter", "lr"))
@@ -496,15 +563,25 @@ def sparse_global_alignment(
                 if not fine:  # coarse phase: poses only (sparse_ga.py:432-439)
                     grads = dict(grads, log_focal=jnp.zeros_like(
                         grads["log_focal"]), pp=jnp.zeros_like(grads["pp"]))
+                if not fine or not opt_depth:
+                    # core_depth trains only in the fine phase
+                    # (sparse_ga.py:440-453)
+                    grads = dict(grads, log_dscale=jnp.zeros_like(
+                        grads["log_dscale"]))
                 bc1 = 1 - 0.9 ** (tt + 1)
+                # Adam normalizes gradient magnitude, so the gentler depth
+                # step must scale the UPDATE (per-leaf lr factor), keeping
+                # pose corrections ahead of depth absorption
+                lr_fac = dict(pose=1.0, log_focal=1.0, pp=1.0,
+                              log_dscale=depth_lr_scale)
 
-                def upd(p_, g, m_, v_):
+                def upd(p_, g, m_, v_, fac):
                     m_ = 0.9 * m_ + 0.1 * g
                     v_ = 0.9 * v_ + 0.1 * g * g
-                    return (p_ - cur * (m_ / bc1)
+                    return (p_ - fac * cur * (m_ / bc1)
                             / (jnp.sqrt(v_ / bc1) + 1e-8), m_, v_)
 
-                out = jax.tree.map(upd, p, grads, m, vv)
+                out = jax.tree.map(upd, p, grads, m, vv, lr_fac)
                 unzip = lambda k: jax.tree.map(  # noqa: E731
                     lambda o: o[k], out,
                     is_leaf=lambda x: isinstance(x, tuple))
@@ -534,4 +611,8 @@ def sparse_global_alignment(
     c2w[:, :3, :3] = R_np
     c2w[:, :3, 3] = t_np
     c2w[0] = np.eye(4)  # gauge anchor
-    return SparseGAResult(c2w, scales, focals_out, float(final))
+    dsc_out = None
+    if opt_depth and niter2:
+        dsc_out = np.asarray(params["log_dscale"], np.float64).reshape(
+            v, n_cells // wa, wa)
+    return SparseGAResult(c2w, scales, focals_out, float(final), dsc_out)

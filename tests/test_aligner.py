@@ -177,7 +177,7 @@ def test_sparse_global_alignment():
         for e, (i, j) in enumerate(preds.edges)
     ])
 
-    c2w, scales, focals, loss = sparse_global_alignment(
+    c2w, scales, focals, loss, _ = sparse_global_alignment(
         preds, subsample=4, niter1=300, niter2=150)
     assert np.isfinite(loss)
     rot, t = _relative_pose_error(c2w, c2w_gt)
@@ -409,3 +409,67 @@ def test_sparse_alignment_free_poses_still_works():
     rot, t = _relative_pose_error(res.c2w, c2w_gt)
     assert rot < 0.05, rot
     assert t < 0.15, t
+
+
+def test_sparse_depth_opt_recovers_noisy_depths():
+    """Per-anchor depth optimization in the fine phase (sparse_ga.py:
+    355-392 core_depth, trainable at sparse_ga.py:453): on a scene whose
+    pointmaps carry consistent per-image per-pixel depth noise but whose
+    matches are exact, the optimizer (a) converges to a tighter loss than
+    with depths frozen, (b) recovers depth corrections correlated with the
+    injected noise at the right magnitude, and (c) improves rotation."""
+    from instantsplat_tpu.init.sparse_align import sparse_global_alignment
+
+    n_views, h, w, focal, noise, ss = 3, 24, 32, 40.0, 0.05, 4
+    c2w_gt, _, _ = _synthetic_scene(n_views=n_views, h=h, w=w, focal=focal)
+    rng = np.random.default_rng(0)
+    D = 1.0 + noise * rng.standard_normal((n_views, h, w))
+    gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+    pts_cam_n, pts_world_n, pts_world_c = [], [], []
+    for v in range(n_views):
+        Rv, tv = c2w_gt[v, :3, :3], c2w_gt[v, :3, 3]
+        dirs = np.stack([(gx - w / 2) / focal, (gy - h / 2) / focal,
+                         np.ones_like(gx)], -1)
+        d_world = dirs @ Rv.T
+        lam = (3.0 - tv[2]) / d_world[..., 2]
+        pw = tv + lam[..., None] * d_world
+        pc = (pw - tv) @ Rv
+        pts_world_c.append(pw)
+        pcn = pc * D[v][..., None]          # ray-consistent depth noise
+        pts_cam_n.append(pcn)
+        pts_world_n.append(tv + pcn @ Rv.T)
+    edges = make_pair_indices(n_views, "complete", symmetrize=True)
+    pred_i = np.stack([pts_cam_n[i] for i, j in edges]).astype(np.float32)
+    pred_j = np.stack([
+        (pts_world_n[j] - c2w_gt[i, :3, 3]) @ c2w_gt[i, :3, :3]
+        for i, j in edges]).astype(np.float32)
+    conf = 1.0 + np.exp(rng.random((len(edges), h, w)).astype(np.float32))
+    preds = PairPrediction(edges=edges, pred_i=pred_i, pred_j=pred_j,
+                           conf_i=conf, conf_j=conf * 1.1)
+
+    def desc_of(v):  # descriptors from the CLEAN geometry: exact matches
+        wd = pts_world_c[v]
+        x, y = wd[..., 0], wd[..., 1]
+        f = np.stack([x, y, np.sin(0.5 * x), np.cos(0.4 * y),
+                      np.sin(0.3 * (x + y)), np.ones_like(x)], -1)
+        return (f / np.linalg.norm(f, axis=-1, keepdims=True)).astype(
+            np.float32)
+
+    preds.desc_i = np.stack([desc_of(i) for i, j in edges])
+    preds.desc_j = np.stack([desc_of(j) for i, j in edges])
+
+    res_off = sparse_global_alignment(preds, subsample=ss, niter1=300,
+                                      niter2=300, opt_depth=False)
+    res_on = sparse_global_alignment(preds, subsample=ss, niter1=300,
+                                     niter2=300, opt_depth=True)
+    assert res_off.depth_scales is None
+    assert res_on.loss < res_off.loss  # tighter convergence
+    rot_off, _ = _relative_pose_error(res_off.c2w, c2w_gt)
+    rot_on, _ = _relative_pose_error(res_on.c2w, c2w_gt)
+    assert rot_on < rot_off
+    # recovered log depth scales track the injected -log noise
+    tgt = -np.log(D[:, ss // 2::ss, ss // 2::ss])
+    got = res_on.depth_scales[:, :tgt.shape[1], :tgt.shape[2]]
+    corr = np.corrcoef(got.ravel(), tgt.ravel())[0, 1]
+    assert corr > 0.35, corr
+    assert 0.5 < got.std() / tgt.std() < 2.0
