@@ -143,24 +143,31 @@ def _pixel_coords(rb, n_pix, width, y0=0):
 
 
 def _fwd_kernel(
-    bits_ref,  # SMEM [n_rb, n_words] int32 (scalar prefetch)
+    bits_ref,  # SMEM [n_strips * n_rb, n_words] int32 (scalar prefetch)
     gauss_ref,  # VMEM [G, 16] packed chunk (depth-sorted)
-    acc_ref,  # out [4, n_rb, P] rgb+depth accumulators (persist across steps)
-    tfin_ref,  # out [n_rb, P] final transmittance
-    lc_ref,  # out [n_rb, P] int32 last contributing (global sorted) index
+    acc_ref,  # out [1, 4, n_rb, P] rgb+depth accumulators (strip block)
+    tfin_ref,  # out [1, n_rb, P] final transmittance
+    lc_ref,  # out [1, n_rb, P] int32 last contributing (global sorted) idx
     logt_ref,  # scratch [n_rb, P] log transmittance carry
     done_ref,  # scratch [n_rb, P] f32 0/1 latched termination
     rowdone_ref,  # scratch SMEM [n_rb] int32
     ndone_ref,  # scratch SMEM [1] int32: #row blocks fully terminated
     *,
-    y0: int = 0,  # static row offset of this strip (packed-input path)
+    y0: int = 0,  # static row offset (packed-input path pre-shifts: 0)
 ):
-    c = pl.program_id(0)
-    n_steps = pl.num_programs(0)
+    # grid = (n_strips, n_steps): the strip axis is OUTER, so each strip's
+    # output blocks stay VMEM-resident across its whole chunk walk and the
+    # pipeline flushes/loads them only at strip boundaries — one dispatch
+    # composites an image of ANY height with bounded VMEM (the round-3
+    # STRIP_ROWS residency cap, lifted).
+    s = pl.program_id(0)
+    c = pl.program_id(1)
+    n_steps = pl.num_programs(1)
     n_rb, n_pix = logt_ref.shape
     cps = gauss_ref.shape[0] // G_CHUNK
     g = G_CHUNK
     width = n_pix // BLOCK_ROWS
+    strip_y0 = y0 + s * n_rb * BLOCK_ROWS
 
     @pl.when(c == 0)
     def _init():
@@ -182,11 +189,11 @@ def _fwd_kernel(
         bit = c_glob % 32
 
         def row_block(rb, _):
-            active = ((bits_ref[rb, word] >> bit) & 1) == 1
+            active = ((bits_ref[s * n_rb + rb, word] >> bit) & 1) == 1
 
             @pl.when(active & (rowdone_ref[rb] == 0))
             def _():
-                px, py = _pixel_coords(rb, n_pix, width, y0)
+                px, py = _pixel_coords(rb, n_pix, width, strip_y0)
                 _, _, _, alpha = _falloff(blk, px, py)
                 hit = alpha > 0.0
                 l = jnp.where(hit, jnp.log1p(-alpha), 0.0)
@@ -206,8 +213,8 @@ def _fwd_kernel(
                     ch_contrib = jnp.sum(
                         w * blk[:, 6 + ch : 7 + ch], 0, keepdims=True
                     )  # [1, P]
-                    acc_ref[ch, pl.ds(rb, 1), :] = (
-                        acc_ref[ch, pl.ds(rb, 1), :] + ch_contrib
+                    acc_ref[0, ch, pl.ds(rb, 1), :] = (
+                        acc_ref[0, ch, pl.ds(rb, 1), :] + ch_contrib
                     )
                 # logT after the chunk = min over contributors (monotone).
                 logt_ref[pl.ds(rb, 1), :] = jnp.min(
@@ -216,8 +223,8 @@ def _fwd_kernel(
                 )
                 gidx = base + jax.lax.broadcasted_iota(
                     jnp.int32, alpha.shape, 0)
-                lc_row = lc_ref[pl.ds(rb, 1), :]
-                lc_ref[pl.ds(rb, 1), :] = jnp.maximum(
+                lc_row = lc_ref[0, pl.ds(rb, 1), :]
+                lc_ref[0, pl.ds(rb, 1), :] = jnp.maximum(
                     lc_row,
                     jnp.max(jnp.where(contribute, gidx, -1), 0, keepdims=True)
                 )
@@ -247,7 +254,7 @@ def _fwd_kernel(
 
     @pl.when(c == n_steps - 1)
     def _final():
-        tfin_ref[:] = jnp.exp(logt_ref[:])
+        tfin_ref[0] = jnp.exp(logt_ref[:])
 
 
 # ---------------------------------------------------------------------------
@@ -471,29 +478,37 @@ def _composite_strip(
     return out
 
 
-def _strip_fwd_call(packed, bits, kernel_y0, n_rows, width, interpret):
-    """Shared forward pallas_call on a packed+padded [N_pad, 16] chunk array.
+def _multi_fwd_call(packed, bits, kernel_y0, n_strips, strip_rows, width,
+                    interpret):
+    """Forward pallas_call on a packed+padded [N_pad, 16] chunk array over
+    a (n_strips, n_steps) grid: the outer strip axis walks row strips of
+    `strip_rows` (each strip's state blocks stay VMEM-resident for its
+    whole inner chunk walk), so ONE dispatch composites any image height
+    with VMEM bounded by the strip size. bits covers all strips'
+    row blocks: [n_strips * strip_rows/BLOCK_ROWS, n_words].
 
-    kernel_y0 is the static row offset applied to pixel y coordinates inside
-    the kernel (0 when mean2d was pre-shifted by the caller)."""
+    kernel_y0 is the static row offset applied to pixel y coordinates
+    inside the kernel (0 when mean2d was pre-shifted by the caller).
+    Returns (acc [S,4,n_rb,P], tfin [S,n_rb,P], lc [S,n_rb,P])."""
     n_pad = packed.shape[0]
     n_steps = n_pad // _g_step()
-    n_rb = n_rows // BLOCK_ROWS
+    n_rb = strip_rows // BLOCK_ROWS
     n_pix = BLOCK_ROWS * width
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_steps,),
+        grid=(n_strips, n_steps),
         in_specs=[
-            pl.BlockSpec((_g_step(), 16), lambda c, bits: (c, 0),
+            pl.BlockSpec((_g_step(), 16), lambda s, c, bits: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((4, n_rb, n_pix), lambda c, bits: (0, 0, 0),
+            pl.BlockSpec((1, 4, n_rb, n_pix),
+                         lambda s, c, bits: (s, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_rb, n_pix), lambda c, bits: (0, 0),
+            pl.BlockSpec((1, n_rb, n_pix), lambda s, c, bits: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_rb, n_pix), lambda c, bits: (0, 0),
+            pl.BlockSpec((1, n_rb, n_pix), lambda s, c, bits: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -507,12 +522,19 @@ def _strip_fwd_call(packed, bits, kernel_y0, n_rows, width, interpret):
         functools.partial(_fwd_kernel, y0=kernel_y0),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((4, n_rb, n_pix), jnp.float32),
-            jax.ShapeDtypeStruct((n_rb, n_pix), jnp.float32),
-            jax.ShapeDtypeStruct((n_rb, n_pix), jnp.int32),
+            jax.ShapeDtypeStruct((n_strips, 4, n_rb, n_pix), jnp.float32),
+            jax.ShapeDtypeStruct((n_strips, n_rb, n_pix), jnp.float32),
+            jax.ShapeDtypeStruct((n_strips, n_rb, n_pix), jnp.int32),
         ),
         interpret=interpret,
     )(bits, packed)
+
+
+def _strip_fwd_call(packed, bits, kernel_y0, n_rows, width, interpret):
+    """Single-strip forward (grid (1, n_steps)); returns 3-D outputs."""
+    acc, tfin, lc = _multi_fwd_call(packed, bits, kernel_y0, 1, n_rows,
+                                    width, interpret)
+    return acc[0], tfin[0], lc[0]
 
 
 def _composite_strip_fwd(
@@ -601,37 +623,65 @@ _composite_strip.defvjp(_composite_strip_fwd, _composite_strip_bwd)
 # ---------------------------------------------------------------------------
 
 
+
+
+# Full-image path: ONE forward dispatch over a (n_strips, n_steps) grid
+# (strip-blocked output state — see _multi_fwd_call). Backward walks the
+# strips as separate dispatches (per-chunk gradient blocks are revisited
+# across strips, which the forward-style pipeline cannot accumulate), each
+# reusing the forward's full-image bitmap rows.
+
+
+def _image_strip_layout(height: int, width: int):
+    """(w_pad, n_strips, strip_rows): the fewest <=STRIP_ROWS strips of
+    equal size covering the padded image (equal sizes keep the grid block
+    shape uniform; e.g. 384 rows -> 2 x 192, 1088 -> 5 x 224)."""
+    w_pad = _round_up(width, 128)
+    h_pad = _round_up(height, BLOCK_ROWS)
+    n_strips = max(1, -(-h_pad // STRIP_ROWS))
+    strip_rows = _round_up(-(-h_pad // n_strips), BLOCK_ROWS)
+    return w_pad, n_strips, strip_rows
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def _composite_packed(packed, y0: int, n_rows: int, width: int,
-                      interpret: bool):
-    out, _ = _composite_packed_fwd(packed, y0, n_rows, width, interpret)
+def _composite_multi(packed, n_strips: int, strip_rows: int, width: int,
+                     interpret: bool):
+    out, _ = _composite_multi_fwd(packed, n_strips, strip_rows, width,
+                                  interpret)
     return out
 
 
-def _composite_packed_fwd(packed, y0, n_rows, width, interpret):
+def _composite_multi_fwd(packed, n_strips, strip_rows, width, interpret):
     n_pad = packed.shape[0]
     n_chunks = n_pad // G_CHUNK
     valid = packed[:, 5] > -1e30
     bits = _row_block_bitmap(packed[:, 0:2], packed[:, 2:5], packed[:, 5],
-                             valid, y0, n_rows, n_chunks)
-    acc, tfin, lc = _strip_fwd_call(packed, bits, y0, n_rows, width, interpret)
+                             valid, 0, n_strips * strip_rows, n_chunks)
+    acc, tfin, lc = _multi_fwd_call(packed, bits, 0, n_strips, strip_rows,
+                                    width, interpret)
     return (acc, tfin, lc), (packed, bits, tfin, lc)
 
 
-def _composite_packed_bwd(y0, n_rows, width, interpret, residuals, cots):
+def _composite_multi_bwd(n_strips, strip_rows, width, interpret, residuals,
+                         cots):
     packed, bits, tfin, lc = residuals
     g_acc, g_tfin, _ = cots
     if g_acc is None:
-        g_acc = jnp.zeros((4,) + tfin.shape, jnp.float32)
+        g_acc = jnp.zeros(tfin.shape[:1] + (4,) + tfin.shape[1:],
+                          jnp.float32)
     if g_tfin is None:
         g_tfin = jnp.zeros_like(tfin)
-    gtu = g_tfin * tfin
-    dgauss = _strip_bwd_call(packed, bits, g_acc, gtu, tfin, lc,
-                             y0, n_rows, width, interpret)
+    n_rb = strip_rows // BLOCK_ROWS
+    dgauss = jnp.zeros((packed.shape[0], 16), jnp.float32)
+    for s in range(n_strips):
+        gtu_s = g_tfin[s] * tfin[s]
+        dgauss = dgauss + _strip_bwd_call(
+            packed, bits[s * n_rb:(s + 1) * n_rb], g_acc[s], gtu_s,
+            tfin[s], lc[s], s * strip_rows, strip_rows, width, interpret)
     return (dgauss,)
 
 
-_composite_packed.defvjp(_composite_packed_fwd, _composite_packed_bwd)
+_composite_multi.defvjp(_composite_multi_fwd, _composite_multi_bwd)
 
 
 def pack_splats(mean2d, conic, log_opacity, colors, depth, valid):
@@ -661,18 +711,13 @@ def composite_tiles_packed(
     packed = jnp.pad(packed, ((0, n_pad - n), (0, 16 - k)))
     if n_pad > n:
         packed = packed.at[n:, 5].set(-jnp.inf)
-    w_pad = _round_up(width, 128)
-    h_pad = _round_up(height, BLOCK_ROWS)
+    w_pad, n_strips, strip_rows = _image_strip_layout(height, width)
 
-    accs, tfins = [], []
-    for y0 in range(0, h_pad, STRIP_ROWS):
-        rows = min(STRIP_ROWS, h_pad - y0)
-        acc, tfin, _ = _composite_packed(packed, y0, rows, w_pad, interpret)
-        n_rb = rows // BLOCK_ROWS
-        accs.append(acc.reshape(4, n_rb * BLOCK_ROWS, w_pad))
-        tfins.append(tfin.reshape(n_rb * BLOCK_ROWS, w_pad))
-    acc = jnp.concatenate(accs, axis=1)[:, :height, :width]
-    tfin = jnp.concatenate(tfins, axis=0)[:height, :width]
+    acc, tfin, _ = _composite_multi(packed, n_strips, strip_rows, w_pad,
+                                    interpret)
+    acc = jnp.moveaxis(acc, 1, 0).reshape(
+        4, n_strips * strip_rows, w_pad)[:, :height, :width]
+    tfin = tfin.reshape(n_strips * strip_rows, w_pad)[:height, :width]
 
     rgb = jnp.moveaxis(acc[:3], 0, -1)  # [H, W, 3]
     if bg is not None:

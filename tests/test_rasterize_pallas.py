@@ -282,3 +282,47 @@ def test_binned_view_requirements_scale_modifier():
                                                scale_modifier=8.0)
     assert cf8 >= cf1 and dl8 >= dl1
     assert cf8 > cf1 or dl8 > dl1  # 8x splats must need more somewhere
+
+
+def test_packed_multi_strip_single_dispatch_fwd_bwd():
+    """The packed path's (n_strips, n_chunks) grid (one forward dispatch
+    for any image height — rasterize_pallas._multi_fwd_call) matches the
+    oracle on image AND gradients when the height spans several strips."""
+    import instantsplat_tpu.ops.rasterize_pallas as rp
+    from instantsplat_tpu.ops import rasterize
+
+    height, width = 40, 36
+    splats = _random_splats(jax.random.PRNGKey(21), 300, height, width)
+    packed = rp.pack_splats(*splats)
+    old = rp.STRIP_ROWS
+    try:
+        rp.STRIP_ROWS = 12  # force 4 strips of 12 rows (h_pad 40 -> 4x12)
+        w_pad, n_strips, strip_rows = rp._image_strip_layout(height, width)
+        assert n_strips > 2
+
+        def f(pk):
+            out = rp.composite_tiles_packed(pk, height=height, width=width)
+            return jnp.sum(out.rgb * 0.3 + out.alpha[..., None] * 0.1), out
+
+        (val, out), grad = jax.value_and_grad(f, has_aux=True)(packed)
+    finally:
+        rp.STRIP_ROWS = old
+
+    ref = rasterize.composite(*splats, height=height, width=width)
+
+    def f_ref(m2, cn, lo, col, dep):
+        o = rasterize.composite(m2, cn, lo, col, dep, splats[5],
+                                height=height, width=width)
+        return jnp.sum(o.rgb * 0.3 + o.alpha[..., None] * 0.1)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(*splats[:5])
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad[:, 0:2]),
+                               np.asarray(g_ref[0]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(grad[:, 5]),
+                               np.asarray(g_ref[2]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(grad[:, 6:9]),
+                               np.asarray(g_ref[3]), atol=2e-4)
