@@ -32,6 +32,12 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--depth_thre", type=float, default=0.01)
     parser.add_argument("--infer_video", action="store_true")
     parser.add_argument("--batch_size", type=int, default=8)
+    # Stage-1 transformer precision: bf16 mixed precision (LayerNorm/
+    # softmax statistics and head postprocess stay f32) is ~2x MXU
+    # throughput on the pair sweep — the stage's hot loop (SURVEY §3.1);
+    # pointmap deviation vs f32 is at bf16 mantissa level
+    # (tests/test_mast3r.py:262).
+    parser.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     # Multi-chip: pair-data-parallel MASt3R inference + edge-sharded
     # alignment over an n-device mesh. 0 = single-device, -1 = all local.
     parser.add_argument("--n_devices", type=int, default=0)
@@ -64,10 +70,13 @@ def main(argv=None):
             print(f"[init_geo] pair-DP inference + edge-sharded alignment "
                   f"over {ndev} devices")
 
+    import jax.numpy as jnp
+
     from instantsplat_tpu.models.mast3r_infer import make_pointmap_fn
 
     pointmap_fn = make_pointmap_fn(
-        args.ckpt_path, batch_size=args.batch_size, mesh=mesh)
+        args.ckpt_path, batch_size=args.batch_size, mesh=mesh,
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else None)
 
     from instantsplat_tpu.pipelines.init_geo_pipeline import run_init_geo
 

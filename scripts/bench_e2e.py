@@ -20,6 +20,7 @@ the dev tunnel, the second rides the persistent compile cache.
 from __future__ import annotations
 
 import argparse
+import json
 import re
 import subprocess
 import sys
@@ -137,7 +138,7 @@ def init_oracle(scene_dir: Path, model_dir: Path, n_views=3):
 
 
 def run_once(root: Path, iterations: int, tag: str,
-             oracle: bool = False) -> bool:
+             oracle: bool = False, record: bool = True) -> bool:
     out = root / f"out_{tag}"
     cmd = [sys.executable, str(Path(__file__).parent / "run_eval.py"),
            "--data", str(root / "data"), "--out", str(out),
@@ -147,17 +148,43 @@ def run_once(root: Path, iterations: int, tag: str,
         init_oracle(root / "data" / "plane", out / "plane" / "3_views")
         cmd.append("--skip_init")
     t0 = time.time()
-    ret = subprocess.run(cmd, cwd=Path(__file__).resolve().parent.parent)
+    repo_root = Path(__file__).resolve().parent.parent
+    ret = subprocess.run(cmd, cwd=repo_root, capture_output=True, text=True)
     total = time.time() - t0
+    sys.stdout.write(ret.stdout)
+    sys.stderr.write(ret.stderr)
     ok = ret.returncode == 0
     print(f"\n== {tag}: total wall {total:.0f}s "
           f"({'ok' if ok else 'FAILED'}) ==")
-    tt = out / "plane" / "3_views" / "train_time.txt"
+    scene_out = out / "plane" / "3_views"
+    stages = {}
+    # run_eval.py prints '   -> ok (123s, log: .../01_init_geo.log)'
+    for m in re.finditer(r"-> (ok|FAIL) \((\d+)s, log: .*/(\d\d_\w+)\.log",
+                         ret.stdout):
+        stages[m.group(3)] = int(m.group(2))
+    tt = scene_out / "train_time.txt"
     if tt.exists():
         print(tt.read_text())
-    res = out / "plane" / "3_views" / "results.json"
+    res = scene_out / "results.json"
+    summary = None
     if res.exists():
         print(re.sub(r"\s+", " ", res.read_text())[:400])
+        try:
+            summary = next(iter(json.loads(res.read_text()).values()))
+        except Exception:
+            pass
+    if record and ok:
+        # the stage table bench.py folds into its multi-metric line
+        # (VERDICT r3 item 2); overwritten by each successful run
+        json.dump({
+            "tag": tag,
+            "mode": "oracle" if oracle else "random-weight",
+            "iterations": iterations,
+            "total_wall_s": round(total, 1),
+            "stage_wall_s": stages,
+            "results": summary,
+            "recorded_unix": int(time.time()),
+        }, open(repo_root / "BENCH_E2E.json", "w"), indent=1)
     return ok
 
 
