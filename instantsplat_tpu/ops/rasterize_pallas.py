@@ -632,14 +632,43 @@ _composite_strip.defvjp(_composite_strip_fwd, _composite_strip_bwd)
 # reusing the forward's full-image bitmap rows.
 
 
-def _image_strip_layout(height: int, width: int):
-    """(w_pad, n_strips, strip_rows): the fewest <=STRIP_ROWS strips of
-    equal size covering the padded image (equal sizes keep the grid block
-    shape uniform; e.g. 384 rows -> 2 x 192, 1088 -> 5 x 224)."""
+# VMEM budget for one strip's resident state (16 MB scoped limit; leave
+# headroom for the double-buffered gauss blocks + compiler temporaries).
+_STRIP_VMEM_BUDGET = 12 * 1024 * 1024
+# XLA stages the whole packed splat array in VMEM when it fits and is
+# re-read by many strips (measured: 200k splats at 1080p overflow the
+# scoped limit by exactly the packed array's 12.8 MB at every strip
+# size, while 589k splats — too big to stage — compile fine); packed
+# arrays under this threshold are charged against the strip budget.
+_PACKED_STAGE_LIMIT = 14 * 1024 * 1024
+
+
+def _image_strip_layout(height: int, width: int, n_packed: int = 0):
+    """(w_pad, n_strips, strip_rows): the fewest equal-size strips whose
+    per-strip VMEM state fits the budget (Mosaic double-buffers the
+    strip-indexed out blocks — acc x4, tfin, lc — even though they are
+    revisited across the inner chunk axis; logt/done scratch singly).
+    Equal sizes keep the grid block shape uniform; e.g. 384 rows at
+    width 512 -> 2 x 192. `n_packed`: splat-array rows, for the
+    VMEM-staging charge (see _PACKED_STAGE_LIMIT)."""
     w_pad = _round_up(width, 128)
     h_pad = _round_up(height, BLOCK_ROWS)
-    n_strips = max(1, -(-h_pad // STRIP_ROWS))
-    strip_rows = _round_up(-(-h_pad // n_strips), BLOCK_ROWS)
+    bytes_per_row = (2 * 6 + 2) * 4 * w_pad
+
+    def layout(budget):
+        cap = (budget // bytes_per_row) // BLOCK_ROWS * BLOCK_ROWS
+        cap = max(BLOCK_ROWS, min(STRIP_ROWS, cap))
+        n_strips = max(1, -(-h_pad // cap))
+        strip_rows = _round_up(-(-h_pad // n_strips), BLOCK_ROWS)
+        return n_strips, strip_rows
+
+    n_strips, strip_rows = layout(_STRIP_VMEM_BUDGET)
+    packed_bytes = n_packed * 16 * 4
+    if n_strips >= 4 and 0 < packed_bytes <= _PACKED_STAGE_LIMIT:
+        # the staging kicks in on high-reuse operands (many strips re-
+        # reading the splat array); 2-strip training shapes measured clean
+        n_strips, strip_rows = layout(
+            max(1024 * 1024, _STRIP_VMEM_BUDGET - packed_bytes))
     return w_pad, n_strips, strip_rows
 
 
@@ -711,7 +740,7 @@ def composite_tiles_packed(
     packed = jnp.pad(packed, ((0, n_pad - n), (0, 16 - k)))
     if n_pad > n:
         packed = packed.at[n:, 5].set(-jnp.inf)
-    w_pad, n_strips, strip_rows = _image_strip_layout(height, width)
+    w_pad, n_strips, strip_rows = _image_strip_layout(height, width, n_pad)
 
     acc, tfin, _ = _composite_multi(packed, n_strips, strip_rows, w_pad,
                                     interpret)
