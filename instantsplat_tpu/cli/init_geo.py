@@ -31,7 +31,9 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--co_vis_dsp", action="store_true")
     parser.add_argument("--depth_thre", type=float, default=0.01)
     parser.add_argument("--infer_video", action="store_true")
-    parser.add_argument("--batch_size", type=int, default=8)
+    # pair-decode batch: 24 measured near the per-chip MFU knee
+    # (scripts/bench_mast3r.py); clamped to the scene's pair count
+    parser.add_argument("--batch_size", type=int, default=24)
     # Stage-1 transformer precision: bf16 mixed precision (LayerNorm/
     # softmax statistics and head postprocess stay f32) is ~2x MXU
     # throughput on the pair sweep — the stage's hot loop (SURVEY §3.1);

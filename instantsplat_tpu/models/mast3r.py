@@ -265,26 +265,36 @@ def _conv_transpose(p, x, stride):
     return out + p["b"]
 
 
+def _interp_matrix(n_out, n_in, dtype):
+    """[n_out, n_in] align_corners=True bilinear interpolation operator
+    (two nonzeros per row)."""
+    if n_out == 1:
+        m = jnp.zeros((1, n_in), jnp.float32).at[0, 0].set(1.0)
+        return m.astype(dtype)
+    g = jnp.arange(n_out) * ((n_in - 1) / (n_out - 1))
+    i0 = jnp.clip(jnp.floor(g).astype(jnp.int32), 0, n_in - 1)
+    i1 = jnp.clip(i0 + 1, 0, n_in - 1)
+    frac = (g - i0).astype(jnp.float32)
+    rows = jnp.arange(n_out)
+    m = jnp.zeros((n_out, n_in), jnp.float32)
+    m = m.at[rows, i0].add(1.0 - frac).at[rows, i1].add(frac)
+    return m.astype(dtype)
+
+
 def _resize_bilinear_ac(x, out_h, out_w):
     """Bilinear with align_corners=True (torch interpolate semantics used
-    throughout DPT; jax.image.resize implements only align_corners=False)."""
+    throughout DPT; jax.image.resize implements only align_corners=False).
+
+    Expressed as two separable interpolation MATMULS rather than gathers:
+    identical weights, but the lane-axis (width) gather the indexed form
+    needs is bandwidth-poor on TPU while these contractions ride the MXU
+    (measured: the DPT head's five resizes dominated the per-pair head
+    cost before this change)."""
     b, h, w, c = x.shape
-
-    def grid(n_out, n_in):
-        if n_out == 1:
-            return jnp.zeros((1,))
-        return jnp.arange(n_out) * ((n_in - 1) / (n_out - 1))
-
-    gy, gx = grid(out_h, h), grid(out_w, w)
-    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, h - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, w - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = (gy - y0)[None, :, None, None].astype(x.dtype)
-    wx = (gx - x0)[None, None, :, None].astype(x.dtype)
-    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
-    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
-    return top * (1 - wy) + bot * wy
+    ry = _interp_matrix(out_h, h, x.dtype)
+    rx = _interp_matrix(out_w, w, x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", ry, x)
+    return jnp.einsum("pw,bowc->bopc", rx, x)
 
 
 def _residual_conv_unit(p, x):

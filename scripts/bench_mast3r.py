@@ -9,9 +9,10 @@ identical compute to a checkpointed model). FLOPs come from XLA's own
 cost model (compiled.cost_analysis()), falling back to an analytic
 transformer count; MFU = achieved TFLOP/s / peak.
 
-Timing obeys the axon rule (CLAUDE.md): repetitions are CHAINED through a
-zero-valued dependency so the runtime cannot overlap or elide them, with
-one host sync at the end.
+Timing obeys the axon rules (CLAUDE.md): every repetition perturbs its
+input value (identical dispatches are value-deduped and
+block_until_ready can return early), and a host-scalar read at the end
+syncs the device queue.
 
   python scripts/bench_mast3r.py [--views 12 24] [--dtype bf16]
       [--batch-size 8] [--reps 4] [--peak-tflops 197]
@@ -23,7 +24,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def analytic_flops(cfg, h, w, batch):
@@ -110,12 +115,16 @@ def main():
     if enc_flops is None:
         enc_flops, _ = analytic_flops(cfg, h, w, bs)
     feats, pos = encode(params, imgs)
-    jax.block_until_ready(feats)
+    float(jnp.sum(feats[:1, :1].astype(jnp.float32)))  # host sync
+    # Timing on the axon tunnel: identical dispatches are value-deduped
+    # and block_until_ready can return early, so every rep perturbs its
+    # INPUT (distinct programs queue + run serially on the device) and a
+    # host-scalar read at the end syncs the whole queue (CLAUDE.md).
     t0 = time.perf_counter()
-    for _ in range(args.reps):
-        chain = (0.0 * jnp.sum(feats[:, :1, :1])).astype(dtype)
-        feats, pos = encode(params, imgs + chain)
-    jax.block_until_ready(feats)
+    for r in range(args.reps):
+        feats, pos = encode(params, imgs + jnp.asarray(1e-6 * (r + 1),
+                                                       dtype))
+    float(jnp.sum(feats[:1, :1].astype(jnp.float32)))
     dt_enc = (time.perf_counter() - t0) / args.reps
     enc_tflops = enc_flops / dt_enc / 1e12
     print(json.dumps({
@@ -132,12 +141,12 @@ def main():
     if dec_flops is None:
         _, dec_flops = analytic_flops(cfg, h, w, bs)
     r1, r2 = decode(params, feats, pos, f2, p2)
-    jax.block_until_ready(r1["pts3d"])
+    float(jnp.sum(r1["pts3d"][:1, :1, :1].astype(jnp.float32)))
     t0 = time.perf_counter()
-    for _ in range(args.reps):
-        chain = (0.0 * jnp.sum(r1["pts3d"][:1, :1, :1])).astype(dtype)
-        r1, r2 = decode(params, feats + chain, pos, f2, p2)
-    jax.block_until_ready(r1["pts3d"])
+    for r in range(args.reps):
+        r1, r2 = decode(params, feats + jnp.asarray(1e-6 * (r + 1), dtype),
+                        pos, f2, p2)
+    float(jnp.sum(r1["pts3d"][:1, :1, :1].astype(jnp.float32)))
     dt_dec = (time.perf_counter() - t0) / args.reps
     dec_tflops = dec_flops / dt_dec / 1e12
     ms_pair = dt_dec / bs * 1e3
