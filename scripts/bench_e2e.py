@@ -29,6 +29,8 @@ from pathlib import Path
 
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 H, W = 384, 512
 FOCAL = 480.0
 N_IMAGES = 14
