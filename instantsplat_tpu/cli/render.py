@@ -29,6 +29,9 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--infer_video", action="store_true")
     parser.add_argument("--optim_test_pose_iter", type=int, default=500)
     parser.add_argument("--test_fps", action="store_true")
+    # Multi-chip: views-data-parallel test-time pose refinement
+    # (0 = single-device, -1 = all local devices)
+    parser.add_argument("--n_devices", type=int, default=0)
     return parser
 
 
@@ -39,6 +42,17 @@ def main(argv=None):
     args = C.get_combined_args(build_parser(), argv)
 
     model = C.extract_group(args, C.ModelParams)
+    mesh = None
+    if getattr(args, "n_devices", 0):
+        import jax
+
+        from instantsplat_tpu.parallel.sharding import make_mesh
+
+        ndev = (len(jax.devices()) if args.n_devices == -1
+                else args.n_devices)
+        if ndev > 1:
+            mesh = make_mesh(ndev)
+            print(f"[render] views-DP pose refinement over {ndev} devices")
     it = run_render(
         model,
         iteration=args.iteration,
@@ -48,6 +62,7 @@ def main(argv=None):
         optim_test_pose_iter=args.optim_test_pose_iter,
         test_fps=args.test_fps,
         backend=args.backend,
+        mesh=mesh,
     )
     print(f"[render] done (iteration {it}) -> {model.model_path}")
 

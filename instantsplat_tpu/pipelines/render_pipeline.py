@@ -194,14 +194,116 @@ def make_pose_refiner(params, camera: Camera, backend="pallas",
     return refine
 
 
+def refine_poses_sharded(params, camera, poses0, gts, mesh,
+                         backend="pallas", num_iter=500, lr_t=3e-3,
+                         lr_q=1e-3, lr_min=1e-4, weight_decay=1e-4,
+                         bg=None, block=50):
+    """Views-data-parallel test-time pose refinement: the V independent
+    per-view 500-iteration refinements (render.py:99-186) shard over the
+    mesh — each chip runs its view subset's refine loop locally (lax.map
+    inside shard_map; no collectives until the final gather). Identical
+    per-view math to make_pose_refiner; dispatches in the same bounded
+    blocks (execution-deadline rule, CLAUDE.md).
+
+    poses0 [V, 7], gts [V, H, W, 3] -> (best_poses [V, 7], best_loss [V]).
+    """
+    import functools
+    import os
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    if bg is None:
+        bg = jnp.zeros(3)
+    axis = list(mesh.axis_names)[0]
+    ndev = mesh.shape[axis]
+    v = poses0.shape[0]
+    v_pad = ((v + ndev - 1) // ndev) * ndev
+    poses0 = jnp.asarray(poses0, jnp.float32)
+    gts = jnp.asarray(gts, jnp.float32)
+    if v_pad > v:  # pad with copies of view 0 (discarded after)
+        poses0 = jnp.concatenate(
+            [poses0, jnp.tile(poses0[:1], (v_pad - v, 1))])
+        gts = jnp.concatenate([gts, jnp.tile(gts[:1], (v_pad - v, 1, 1, 1))])
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+    budget = float(os.environ.get("INSTANTSPLAT_DISPATCH_BUDGET_S", 20.0))
+
+    def loss_fn(pose, gt):
+        out = render(params, camera, pose=pose, bg=bg, backend=backend)
+        mask = (out.render > 0.0).astype(jnp.float32)
+        return masked_l1_loss(out.render, gt, mask)
+
+    def view_block(start, n, carry, gt):
+        def step(k, carry):
+            pose, m, vv, best_pose, best_loss = carry
+            t = (start + k).astype(jnp.float32)
+            cos = (1 + jnp.cos(jnp.pi * t / num_iter)) / 2
+            cur_t = lr_min + (lr_t - lr_min) * cos
+            cur_q = lr_min + (lr_q - lr_min) * cos
+            lr_vec = jnp.concatenate(
+                [jnp.full(4, cur_q), jnp.full(3, cur_t)])
+            loss, g = jax.value_and_grad(loss_fn)(pose, gt)
+            g = g + weight_decay * pose
+            m = beta1 * m + (1 - beta1) * g
+            vv = beta2 * vv + (1 - beta2) * g * g
+            tt = t + 1.0
+            upd = lr_vec * (m / (1 - beta1**tt)) / (
+                jnp.sqrt(vv / (1 - beta2**tt)) + eps)
+            better = loss < best_loss
+            best_pose = jnp.where(better, pose, best_pose)
+            best_loss = jnp.minimum(loss, best_loss)
+            return pose - upd, m, vv, best_pose, best_loss
+
+        return jax.lax.fori_loop(0, n, step, carry)
+
+    @jax.jit
+    def block_fn(start, n, carry, gts_b):
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+            out_specs=P(axis), check_vma=False)
+        def run(carry_local, gt_local):
+            return jax.lax.map(
+                lambda cg: view_block(start, n, cg[0], cg[1]),
+                (carry_local, gt_local))
+
+        return run(carry, gts_b)
+
+    carry = (poses0, jnp.zeros_like(poses0), jnp.zeros_like(poses0),
+             poses0, jnp.full((v_pad,), jnp.inf))
+    done = 0
+    cal_block = None
+    if budget > 0:
+        probe = max(1, min(5, num_iter))
+        per_iter = 0.0
+        for _ in range(2):  # first pays the compile; second is warm
+            n = min(probe, num_iter - done)
+            if n <= 0:
+                break
+            t0 = _time.perf_counter()
+            carry = block_fn(jnp.int32(done), jnp.int32(n), carry, gts)
+            jax.block_until_ready(carry[4])
+            per_iter = (_time.perf_counter() - t0) / n
+            done += n
+        cal_block = int(max(1, min(block, budget / max(per_iter, 1e-9))))
+    cur = cal_block or block
+    while done < num_iter:
+        n = min(cur, num_iter - done)
+        carry = block_fn(jnp.int32(done), jnp.int32(n), carry, gts)
+        done += n
+    return np.asarray(carry[3][:v]), np.asarray(carry[4][:v])
+
+
 def render_set_optimize(
     model_path, name, iteration, cameras, poses7, params,
     backend="pallas", white_background=False, num_iter=500,
-    test_fps=False,
+    test_fps=False, mesh=None,
 ):
     """Test branch: refine each view's pose, then render (render.py:99-186).
 
-    Returns the refined [V,7] poses.
+    With `mesh`, the per-view refinements run views-data-parallel over the
+    chips (refine_poses_sharded). Returns the refined [V,7] poses.
     """
     import jax
     import jax.numpy as jnp
@@ -211,19 +313,28 @@ def render_set_optimize(
     (out_dir / "gt").mkdir(parents=True, exist_ok=True)
     bg = jnp.ones(3) if white_background else jnp.zeros(3)
 
-    refined = []
-    refiner = make_pose_refiner(
-        params, cameras[0], backend=backend, num_iter=num_iter, bg=bg)
+    same_shape = len({(c.height, c.width) for c in cameras}) == 1
+    if mesh is not None and same_shape and len(cameras) > 1:
+        gts = jnp.stack([c.image for c in cameras])
+        refined_arr, _ = refine_poses_sharded(
+            params, cameras[0], jnp.asarray(np.asarray(poses7)), gts, mesh,
+            backend=backend, num_iter=num_iter, bg=bg)
+        refined = [np.asarray(p) for p in refined_arr]
+    else:
+        refined = []
+        refiner = make_pose_refiner(
+            params, cameras[0], backend=backend, num_iter=num_iter, bg=bg)
+        for idx, cam in enumerate(cameras):
+            best_pose, _ = refiner(jnp.asarray(poses7[idx]), cam.image)
+            refined.append(np.asarray(best_pose))
+
     for idx, cam in enumerate(cameras):
-        pose0 = jnp.asarray(poses7[idx])
-        gt = cam.image
-        best_pose, _ = refiner(pose0, gt)
-        refined.append(np.asarray(best_pose))
-        out = render(params, cam, pose=best_pose, bg=bg, backend=backend)
+        out = render(params, cam, pose=jnp.asarray(refined[idx]), bg=bg,
+                     backend=backend)
         image_io.save_image(out_dir / "renders" / f"{idx:05d}.png",
                             np.clip(np.asarray(out.render), 0, 1))
         image_io.save_image(out_dir / "gt" / f"{idx:05d}.png",
-                            np.asarray(gt))
+                            np.asarray(cam.image))
 
     if test_fps:
         pose = jnp.asarray(refined[-1])
@@ -295,8 +406,10 @@ def run_render(
     test_fps=True,
     backend="pallas",
     video_seconds=10,
+    mesh=None,
 ):
-    """Full render_sets flow (render.py:189-248)."""
+    """Full render_sets flow (render.py:189-248). With `mesh`, test-time
+    pose refinement runs views-data-parallel over the chips."""
     model_path = Path(model.model_path)
     train_info = scene_io.read_scene(
         model.source_path, model.n_views, split="train",
@@ -325,7 +438,7 @@ def run_render(
             model_path, "test", iteration, test_info.cameras, poses7,
             params, backend=backend,
             white_background=model.white_background,
-            num_iter=optim_test_pose_iter, test_fps=test_fps)
+            num_iter=optim_test_pose_iter, test_fps=test_fps, mesh=mesh)
 
     if infer_video:
         inter = save_interpolated_poses(

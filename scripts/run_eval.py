@@ -149,7 +149,7 @@ def main():
             ok = ok and run_stage(
                 py + ["instantsplat_tpu.cli.render", "-s", str(src),
                       "-m", str(out), "--n_views", nv, "--iteration", it,
-                      "--skip_train", "--eval", "--test_fps"],
+                      "--skip_train", "--eval", "--test_fps"] + shard,
                 logs / "04_render_test.log", env=env)
             ok = ok and run_stage(
                 py + ["instantsplat_tpu.cli.metrics", "-m", str(out),

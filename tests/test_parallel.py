@@ -550,3 +550,42 @@ def test_train_joint_sharded_gaussian_axis_runs():
                                   log_every=4, n_devices=4,
                                   shard_axis="gaussians"))
     assert hist[-1][1]["loss"] < hist[0][1]["loss"]
+
+
+def test_refine_poses_sharded_matches_sequential(tmp_path):
+    """Views-DP test-time pose refinement (render.py:99-186 semantics,
+    cli.render --n_devices): the sharded per-view refinements equal the
+    sequential refiner's output."""
+    from instantsplat_tpu.pipelines.render_pipeline import (
+        make_pose_refiner,
+        refine_poses_sharded,
+    )
+    from instantsplat_tpu.render import render as _render
+
+    g, cams = make_scene(n=150, size=32, views=1, seed=21)
+    cam = cams[0]
+    # GT views rendered from perturbed poses; refinement should pull back
+    rng = np.random.RandomState(3)
+    v = 6
+    poses0, gts = [], []
+    for k in range(v):
+        true_pose = jnp.asarray(
+            np.array([1, 0, 0, 0, 0, 0, 0]) +
+            0.02 * rng.randn(7), jnp.float32)
+        gts.append(_render(g, cam, pose=true_pose, chunk=64,
+                           backend="pallas").render)
+        poses0.append(true_pose + 0.01 * jnp.asarray(rng.randn(7),
+                                                     jnp.float32))
+    poses0 = jnp.stack(poses0)
+    gts = jnp.stack(gts)
+
+    mesh = make_mesh(4)
+    ref_sh, loss_sh = refine_poses_sharded(
+        g, cam, poses0, gts, mesh, backend="pallas", num_iter=20)
+
+    refiner = make_pose_refiner(g, cam, backend="pallas", num_iter=20)
+    for k in range(v):
+        bp, bl = refiner(poses0[k], gts[k])
+        np.testing.assert_allclose(ref_sh[k], np.asarray(bp), atol=1e-5,
+                                   err_msg=f"view {k}")
+        np.testing.assert_allclose(loss_sh[k], float(bl), rtol=1e-4)
