@@ -60,7 +60,10 @@ def resolve_backend(params, camera, pose, bg, backend):
 
     try:
         cf, dl = binned_view_requirements(params, pose, camera)
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — see trainer._binned_candidate
+        logging.getLogger(__name__).warning(
+            "backend auto: binned sizing probe failed (%s: %s); "
+            "falling back to dense", type(e).__name__, e)
         return "pallas"
     if cf > _MAX_BINNED_CAP_FACTOR or dl > _MAX_BINNED_D_LEVELS:
         return "pallas"

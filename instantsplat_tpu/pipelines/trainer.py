@@ -218,7 +218,15 @@ def _binned_candidate(params, camera, trainer_cfg) -> Optional[str]:
         if cf > _MAX_BINNED_CAP_FACTOR or dl > _MAX_BINNED_D_LEVELS:
             return None
         return f"pallas-binned:{cf}:{dl}"
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — auto must never kill training,
+        # but a swallowed probe failure silently forfeits the faster
+        # backend (observed: a transient tunnel error cost a 413k-point
+        # scene its binned candidate) — make it visible
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "backend auto: binned sizing probe failed (%s: %s); "
+            "falling back to dense", type(e).__name__, e)
         return None
 
 
