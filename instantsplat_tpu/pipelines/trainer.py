@@ -354,6 +354,16 @@ def train_joint(
         warm_probed = block_cap is not None
         n_probe_blocks = 4 if alt_fn is not None else 2
         per_iter_main: Optional[float] = None
+        # Periodic backend RE-probe: the dense/binned crossover moves
+        # during training (early low-opacity iterations are binned
+        # territory; burned-in termination-saturated ones are dense's —
+        # PERF_NOTES crossover table), so every `reprobe_every` iterations
+        # one timed block runs on each backend and the faster keeps the
+        # loop. Costs two syncs per window; a 4x regime flip dwarfs that.
+        reprobe_every = 250
+        next_reprobe = first_iter + 1 + reprobe_every
+        reprobe_state = 0  # 0 idle, 1 timing current, 2 timing other
+        per_cur_probe: Optional[float] = None
 
         it = first_iter + 1
         block_idx = 0
@@ -378,6 +388,11 @@ def train_joint(
             # the binned one (each pair = compile + warm measurement)
             fn = (alt_fn if alt_fn is not None and block_idx in (2, 3)
                   else block_fn)
+            if (warm_probed and alt_fn is not None and reprobe_state == 0
+                    and it >= next_reprobe):
+                reprobe_state = 1
+            if reprobe_state == 2:
+                fn = alt_fn
             t_blk = time.time()
             with profiling.profile_trace(trainer_cfg.profile_dir,
                                          enabled=do_trace):
@@ -385,8 +400,20 @@ def train_joint(
                     params, opt_state, jnp.asarray(view_ids),
                     jnp.asarray(iters), active_sh,
                 )
-                if do_trace or not warm_probed:
+                if do_trace or not warm_probed or reprobe_state:
                     jax.block_until_ready(metrics)
+            if reprobe_state == 1:
+                per_cur_probe = (time.time() - t_blk) / max(1, end - it + 1)
+                reprobe_state = 2
+            elif reprobe_state == 2:
+                per_other = (time.time() - t_blk) / max(1, end - it + 1)
+                if per_other < 0.87 * per_cur_probe:
+                    block_fn, alt_fn = alt_fn, block_fn
+                    print(f"[train] backend auto: switching at iter {it} "
+                          f"({per_other * 1e3:.0f} vs "
+                          f"{per_cur_probe * 1e3:.0f} ms/iter)", flush=True)
+                reprobe_state = 0
+                next_reprobe = it + reprobe_every
             if block_cap is None and block_idx == 1:
                 per_iter_main = (time.time() - t_blk) / max(1, end - it + 1)
             if block_cap is None and block_idx == n_probe_blocks - 1:
