@@ -57,8 +57,11 @@ if __name__ == "__main__":
     depth = jnp.asarray(np.sort(rng.uniform(1, 8, N)).astype(np.float32))
     valid = jnp.ones((N,), bool)
 
+    mean2d_dev = jnp.asarray(mean2d0)  # device-resident: per-rep host
+    # uploads of the [N,2] array would dominate the timings over the tunnel
+
     def m2(r):
-        return jnp.asarray(mean2d0) + jnp.float32(1e-4 * r)
+        return mean2d_dev + jnp.float32(1e-4 * r)
 
     # --- a: extents + keys ---
     @jax.jit
