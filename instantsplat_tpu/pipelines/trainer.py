@@ -205,7 +205,7 @@ _MAX_BINNED_CAP_FACTOR = 16
 _MAX_BINNED_D_LEVELS = 64
 
 
-def _binned_candidate(params, camera, trainer_cfg) -> Optional[str]:
+def _binned_candidate(params, camera) -> Optional[str]:
     """Host-side sizing for backend='auto': the 'pallas-binned:CF:DL'
     backend string whose bin capacity holds every splat of the CURRENT
     scene state (dense never drops splats — the same guarantee the
@@ -328,7 +328,7 @@ def train_joint(
             # keep the faster; skip binned when its bins would overflow
             # (the dense kernel never drops splats).
             backend = "pallas"
-            alt_backend = _binned_candidate(params, cameras[0], trainer_cfg)
+            alt_backend = _binned_candidate(params, cameras[0])
             if alt_backend is not None:
                 alt_fn = make_train_scan(
                     optimizer, stacked, bg, opt_cfg.lambda_dssim,
