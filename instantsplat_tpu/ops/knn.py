@@ -34,19 +34,37 @@ def mean_knn_dist2(points: jax.Array, k: int = 3, chunk: int = 1024) -> jax.Arra
     """
     n = points.shape[0]
     n_pad = ((n + chunk - 1) // chunk) * chunk
+    # Center the cloud: the Gram expansion |q|^2 + |p|^2 - 2 q.p loses
+    # ~|p|^2 * 2^-24 absolute precision to f32 cancellation — at real
+    # scene scales (|p| ~ 3, NN dist^2 ~ 1e-5) that same-order error
+    # inflated some init scales ~10x. Centering shrinks |p| to the cloud
+    # radius; an exact-difference refinement of the top candidates below
+    # removes the residual error entirely.
+    points = points - jnp.mean(points, axis=0, keepdims=True)
     pts = jnp.pad(points, ((0, n_pad - n), (0, 0)), constant_values=1e10)
     sq = jnp.sum(pts * pts, axis=-1)  # [Np]
+    k_cand = k + 4  # candidate margin for the approximate top-k
 
     def body(carry, q_chunk):
         q_pts, q_sq, q_idx = q_chunk  # [C,3], [C], [C]
-        # ||q - p||^2 = |q|^2 + |p|^2 - 2 q.p ; the q.p term is an MXU matmul.
+        # ||q - p||^2 = |q|^2 + |p|^2 - 2 q.p ; the q.p term is an MXU
+        # matmul. Approximate (f32 cancellation) — used only to pick
+        # candidates, whose distances are then recomputed exactly.
         d2 = q_sq[:, None] + sq[None, :] - 2.0 * (q_pts @ pts.T)
         # exclude self-distance
         col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
         d2 = jnp.where(col == q_idx[:, None], jnp.inf, d2)
         # mask padded database points
         d2 = jnp.where(sq[None, :] >= 1e19, jnp.inf, d2)
-        neg_topk, _ = jax.lax.top_k(-d2, k)
+        _, cand_idx = jax.lax.top_k(-d2, k_cand)  # [C, k_cand]
+        # exact squared distances on the candidate set
+        cand = pts[cand_idx]  # [C, k_cand, 3]
+        diff = q_pts[:, None, :] - cand
+        exact = jnp.sum(diff * diff, axis=-1)
+        # re-apply self/padding masks on the exact values
+        exact = jnp.where(cand_idx == q_idx[:, None], jnp.inf, exact)
+        exact = jnp.where(sq[cand_idx] >= 1e19, jnp.inf, exact)
+        neg_topk, _ = jax.lax.top_k(-exact, k)
         return carry, -neg_topk  # [C, k]
 
     q_pts = pts.reshape(-1, chunk, 3)
@@ -54,5 +72,4 @@ def mean_knn_dist2(points: jax.Array, k: int = 3, chunk: int = 1024) -> jax.Arra
     q_idx = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, chunk)
     _, knn = jax.lax.scan(body, None, (q_pts, q_sq, q_idx))
     knn = knn.reshape(n_pad, k)[:n]
-    knn = jnp.maximum(knn, 0.0)  # numerical floor: Gram expansion can go -eps
     return jnp.maximum(jnp.mean(knn, axis=-1), 1e-7)

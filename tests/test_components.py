@@ -163,3 +163,25 @@ def test_trainer_profile_dir(tmp_path):
                 trainer_cfg=TrainerConfig(iterations=4, log_every=2,
                                           profile_dir=str(logdir)))
     assert any(p.is_file() for p in logdir.rglob("*"))
+
+
+def test_mean_knn_dist2_matches_brute_force_far_from_origin():
+    """ops/knn.mean_knn_dist2 (the distCUDA2 role, scene/gaussian_model.py:
+    156) must stay exact when NN distances are tiny relative to |p| — the
+    naive Gram expansion |q|^2+|p|^2-2qp loses exactly this regime to f32
+    cancellation (found inflating init scales ~10x on a real-scale scene,
+    which silently disqualified the binned rasterizer's capacity sizing)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from instantsplat_tpu.ops.knn import mean_knn_dist2
+
+    rng = np.random.default_rng(0)
+    # dense cloud (tiny NN distances) far from the origin
+    pts = (rng.random((5000, 3)).astype(np.float32) * 0.05
+           + np.array([3.0, -2.0, 7.0], np.float32))
+    got = np.asarray(mean_knn_dist2(jnp.asarray(pts), k=3))
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    ref = np.maximum(np.sort(d2, axis=1)[:, :3].mean(1), 1e-7)
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
