@@ -409,9 +409,10 @@ def train_joint(
                 per_other = (time.time() - t_blk) / max(1, end - it + 1)
                 if per_other < 0.87 * per_cur_probe:
                     block_fn, alt_fn = alt_fn, block_fn
-                    print(f"[train] backend auto: switching at iter {it} "
-                          f"({per_other * 1e3:.0f} vs "
-                          f"{per_cur_probe * 1e3:.0f} ms/iter)", flush=True)
+                    print(f"[train] backend auto: switching at iter {it} — "
+                          f"other backend {per_other * 1e3:.0f} ms/iter "
+                          f"beats current {per_cur_probe * 1e3:.0f}",
+                          flush=True)
                 reprobe_state = 0
                 next_reprobe = it + reprobe_every
             if block_cap is None and block_idx == 1:
