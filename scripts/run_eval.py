@@ -28,17 +28,32 @@ from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 
-def run_stage(cmd, log_path, env=None):
+def run_stage(cmd, log_path, env=None, timeout=None, retries=0):
+    """Run one pipeline stage; with `timeout`, kill + retry a stalled
+    stage (a dropped remote-backend RPC can hang a process forever with
+    zero CPU — observed repeatedly on the dev tunnel; a fresh process
+    rides the persistent compile cache, so retries are cheap)."""
     log_path.parent.mkdir(parents=True, exist_ok=True)
-    with open(log_path, "w") as log:
-        t0 = time.time()
-        print(f">> {' '.join(cmd)}")
-        ret = subprocess.run(cmd, stdout=log, stderr=subprocess.STDOUT,
-                             env=env)
-        dt = time.time() - t0
-        print(f"   -> {'ok' if ret.returncode == 0 else 'FAIL'} "
-              f"({dt:.0f}s, log: {log_path})")
-        return ret.returncode == 0
+    for attempt in range(retries + 1):
+        mode = "w" if attempt == 0 else "a"
+        with open(log_path, mode) as log:
+            t0 = time.time()
+            print(f">> {' '.join(cmd)}"
+                  + (f" (retry {attempt})" if attempt else ""))
+            try:
+                ret = subprocess.run(cmd, stdout=log,
+                                     stderr=subprocess.STDOUT, env=env,
+                                     timeout=timeout)
+                rc = ret.returncode
+            except subprocess.TimeoutExpired:
+                rc = -1
+                log.write(f"\n== stage timeout after {timeout}s ==\n")
+            dt = time.time() - t0
+            print(f"   -> {'ok' if rc == 0 else 'FAIL'} "
+                  f"({dt:.0f}s, log: {log_path})")
+            if rc == 0:
+                return True
+    return False
 
 
 def slot_environment(slot: int, n_jobs: int) -> dict:
@@ -110,6 +125,10 @@ def main():
                          "(pair-DP init_geo + sharded train renders; "
                          "-1 = all local devices). Mutually exclusive "
                          "with --jobs > 1 scene-parallelism.")
+    ap.add_argument("--stage_timeout", type=int, default=0,
+                    help="kill + retry (once) any stage exceeding this "
+                         "many seconds (0 = no watchdog); guards against "
+                         "stalled remote-backend RPCs")
     args = ap.parse_args()
 
     py = [sys.executable, "-m"]
@@ -117,6 +136,8 @@ def main():
     def make_scene_fn(scene):
         def run_scene(slot: int) -> bool:
             env = slot_environment(slot, args.jobs)
+            watchdog = dict(timeout=args.stage_timeout or None,
+                            retries=1 if args.stage_timeout else 0)
             src = Path(args.data) / args.dataset / scene / "24_views"
             if not src.exists():
                 src = Path(args.data) / args.dataset / scene
@@ -135,26 +156,26 @@ def main():
                           "-m", str(out), "--n_views", nv,
                           "--ckpt_path", args.ckpt_path, "--focal_avg",
                           "--co_vis_dsp", "--conf_aware_ranking"] + shard,
-                    logs / "01_init_geo.log", env=env)
+                    logs / "01_init_geo.log", env=env, **watchdog)
             ok = ok and run_stage(
                 py + ["instantsplat_tpu.cli.train", "-s", str(src),
                       "-m", str(out), "--n_views", nv, "--iterations", it,
                       "--pp_optimizer", "--optim_pose"] + shard,
-                logs / "02_train.log", env=env)
+                logs / "02_train.log", env=env, **watchdog)
             ok = ok and run_stage(
                 py + ["instantsplat_tpu.cli.render", "-s", str(src),
                       "-m", str(out), "--n_views", nv, "--iteration", it,
                       "--skip_test"],
-                logs / "03_render_train.log", env=env)
+                logs / "03_render_train.log", env=env, **watchdog)
             ok = ok and run_stage(
                 py + ["instantsplat_tpu.cli.render", "-s", str(src),
                       "-m", str(out), "--n_views", nv, "--iteration", it,
                       "--skip_train", "--eval", "--test_fps"] + shard,
-                logs / "04_render_test.log", env=env)
+                logs / "04_render_test.log", env=env, **watchdog)
             ok = ok and run_stage(
                 py + ["instantsplat_tpu.cli.metrics", "-m", str(out),
                       "-s", str(src), "--n_views", nv],
-                logs / "05_metrics.log", env=env)
+                logs / "05_metrics.log", env=env, **watchdog)
             print(f"== {scene}: {'DONE' if ok else 'FAILED'} ==")
             return ok
 
