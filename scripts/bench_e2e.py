@@ -175,6 +175,24 @@ def run_once(root: Path, iterations: int, tag: str,
             summary = next(iter(json.loads(res.read_text()).values()))
         except Exception:
             pass
+    # time-to-PSNR from the training scalar stream (BASELINE.md north
+    # star is time-to-quality, not just wall total)
+    t2p = {}
+    scal = scene_out / "scalars.jsonl"
+    if scal.exists():
+        best = {}
+        for line in scal.read_text().splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("tag") == "train/psnr":
+                best[rec["step"]] = (rec["value"], rec["wall"])
+        for thr in (30, 40, 50):
+            hit = [(s, w) for s, (v, w) in sorted(best.items()) if v >= thr]
+            if hit:
+                t2p[f"train_psnr_{thr}"] = {
+                    "iteration": hit[0][0], "wall_s": round(hit[0][1], 1)}
     if record and ok:
         # the stage table bench.py folds into its multi-metric line
         # (VERDICT r3 item 2); overwritten by each successful run
@@ -184,6 +202,7 @@ def run_once(root: Path, iterations: int, tag: str,
             "iterations": iterations,
             "total_wall_s": round(total, 1),
             "stage_wall_s": stages,
+            "time_to_psnr": t2p,
             "results": summary,
             "recorded_unix": int(time.time()),
         }, open(repo_root / "BENCH_E2E.json", "w"), indent=1)
