@@ -201,12 +201,14 @@ def refine_poses_sharded(params, camera, poses0, gts, mesh,
                          backend="pallas", num_iter=500, lr_t=3e-3,
                          lr_q=1e-3, lr_min=1e-4, weight_decay=1e-4,
                          bg=None, block=50):
-    """Views-data-parallel test-time pose refinement: the V independent
-    per-view 500-iteration refinements (render.py:99-186) shard over the
-    mesh — each chip runs its view subset's refine loop locally (lax.map
-    inside shard_map; no collectives until the final gather). Identical
-    per-view math to make_pose_refiner; dispatches in the same bounded
-    blocks (execution-deadline rule, CLAUDE.md).
+    """Batched test-time pose refinement: ALL V independent per-view
+    refinements (render.py:99-186) advance inside one dispatch per block
+    (lax.map over views), cutting the host round-trips V-fold vs the
+    per-view loop. With `mesh`, the view axis additionally shards over
+    the chips (shard_map; no collectives until the final gather); with
+    mesh=None the map runs on the one device. Identical per-view math to
+    make_pose_refiner; dispatches in the same bounded blocks
+    (execution-deadline rule, CLAUDE.md).
 
     poses0 [V, 7], gts [V, H, W, 3] -> (best_poses [V, 7], best_loss [V]).
     """
@@ -220,8 +222,8 @@ def refine_poses_sharded(params, camera, poses0, gts, mesh,
 
     if bg is None:
         bg = jnp.zeros(3)
-    axis = list(mesh.axis_names)[0]
-    ndev = mesh.shape[axis]
+    axis = list(mesh.axis_names)[0] if mesh is not None else None
+    ndev = mesh.shape[axis] if mesh is not None else 1
     v = poses0.shape[0]
     v_pad = ((v + ndev - 1) // ndev) * ndev
     poses0 = jnp.asarray(poses0, jnp.float32)
@@ -263,14 +265,16 @@ def refine_poses_sharded(params, camera, poses0, gts, mesh,
 
     @jax.jit
     def block_fn(start, n, carry, gts_b):
-        @functools.partial(
-            jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
-            out_specs=P(axis), check_vma=False)
-        def run(carry_local, gt_local):
+        def run_local(carry_local, gt_local):
             return jax.lax.map(
                 lambda cg: view_block(start, n, cg[0], cg[1]),
                 (carry_local, gt_local))
 
+        if mesh is None:
+            return run_local(carry, gts_b)
+        run = functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+            out_specs=P(axis), check_vma=False)(run_local)
         return run(carry, gts_b)
 
     carry = (poses0, jnp.zeros_like(poses0), jnp.zeros_like(poses0),
@@ -317,7 +321,10 @@ def render_set_optimize(
     bg = jnp.ones(3) if white_background else jnp.zeros(3)
 
     same_shape = len({(c.height, c.width) for c in cameras}) == 1
-    if mesh is not None and same_shape and len(cameras) > 1:
+    if same_shape and len(cameras) > 1 and num_iter > 0:
+        # batched refinement (one dispatch advances every view's loop;
+        # sharded over `mesh` when given) — the per-view path below
+        # remains for mixed-shape test sets
         gts = jnp.stack([c.image for c in cameras])
         refined_arr, _ = refine_poses_sharded(
             params, cameras[0], jnp.asarray(np.asarray(poses7)), gts, mesh,

@@ -589,3 +589,35 @@ def test_refine_poses_sharded_matches_sequential(tmp_path):
         np.testing.assert_allclose(ref_sh[k], np.asarray(bp), atol=1e-5,
                                    err_msg=f"view {k}")
         np.testing.assert_allclose(loss_sh[k], float(bl), rtol=1e-4)
+
+
+def test_refine_poses_batched_no_mesh_matches_sequential():
+    """The batched single-device refinement path (lax.map over views, one
+    dispatch per block — the default for same-shape test sets) equals the
+    sequential refiner."""
+    from instantsplat_tpu.pipelines.render_pipeline import (
+        make_pose_refiner,
+        refine_poses_sharded,
+    )
+    from instantsplat_tpu.render import render as _render
+
+    g, cams = make_scene(n=120, size=32, views=1, seed=31)
+    cam = cams[0]
+    rng = np.random.RandomState(7)
+    poses0, gts = [], []
+    for k in range(3):
+        true_pose = jnp.asarray(
+            np.array([1, 0, 0, 0, 0, 0, 0]) + 0.02 * rng.randn(7),
+            jnp.float32)
+        gts.append(_render(g, cam, pose=true_pose, chunk=64,
+                           backend="pallas").render)
+        poses0.append(true_pose + 0.01 * jnp.asarray(rng.randn(7),
+                                                     jnp.float32))
+    poses0, gts = jnp.stack(poses0), jnp.stack(gts)
+
+    ref, _ = refine_poses_sharded(g, cam, poses0, gts, mesh=None,
+                                  backend="pallas", num_iter=15)
+    refiner = make_pose_refiner(g, cam, backend="pallas", num_iter=15)
+    for k in range(3):
+        bp, _ = refiner(poses0[k], gts[k])
+        np.testing.assert_allclose(ref[k], np.asarray(bp), atol=1e-5)
