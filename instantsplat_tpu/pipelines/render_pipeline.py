@@ -282,7 +282,11 @@ def refine_poses_sharded(params, camera, poses0, gts, mesh,
     done = 0
     cal_block = None
     if budget > 0:
-        probe = max(1, min(5, num_iter))
+        # one batched block = V/ndev view-iterations of work per scan
+        # step, so probe at a SINGLE iteration — a 5-iteration probe of a
+        # heavy scene can cross the runtime's ~60 s execution deadline
+        # before any calibration exists
+        probe = 1
         per_iter = 0.0
         for _ in range(2):  # first pays the compile; second is warm
             n = min(probe, num_iter - done)

@@ -145,7 +145,7 @@ def run_once(root: Path, iterations: int, tag: str,
     cmd = [sys.executable, str(Path(__file__).parent / "run_eval.py"),
            "--data", str(root / "data"), "--out", str(out),
            "--scenes", "plane", "--n_views", "3", "--ckpt_path", "random",
-           "--iterations", str(iterations), "--stage_timeout", "1500"]
+           "--iterations", str(iterations), "--stage_timeout", "3600"]
     if oracle:
         init_oracle(root / "data" / "plane", out / "plane" / "3_views")
         cmd.append("--skip_init")
