@@ -299,10 +299,18 @@ def refine_poses_sharded(params, camera, poses0, gts, mesh,
             done += n
         cal_block = int(max(1, min(block, budget / max(per_iter, 1e-9))))
     cur = cal_block or block
+    t_start = _time.perf_counter()
+    last_report = 0
     while done < num_iter:
         n = min(cur, num_iter - done)
         carry = block_fn(jnp.int32(done), jnp.int32(n), carry, gts)
         done += n
+        if done - last_report >= 100 or done >= num_iter:
+            jax.block_until_ready(carry[4])
+            print(f"[render] pose refinement {done}/{num_iter} iterations "
+                  f"x {v} views ({_time.perf_counter() - t_start:.0f}s)",
+                  flush=True)
+            last_report = done
     return np.asarray(carry[3][:v]), np.asarray(carry[4][:v])
 
 
