@@ -15,6 +15,10 @@ import time
 
 import numpy as np
 
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 
 def main():
     import jax

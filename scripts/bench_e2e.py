@@ -158,12 +158,14 @@ def init_oracle(scene_dir: Path, model_dir: Path, n_views=3):
 
 
 def run_once(root: Path, iterations: int, tag: str,
-             oracle: bool = False, record: bool = True) -> bool:
+             oracle: bool = False, record: bool = True,
+             pose_iters: int = 500) -> bool:
     out = root / f"out_{tag}"
     cmd = [sys.executable, str(Path(__file__).parent / "run_eval.py"),
            "--data", str(root / "data"), "--out", str(out),
            "--scenes", "plane", "--n_views", "3", "--ckpt_path", "random",
-           "--iterations", str(iterations), "--stage_timeout", "3600"]
+           "--iterations", str(iterations), "--stage_timeout", "3600",
+           "--optim_test_pose_iter", str(pose_iters)]
     if oracle:
         init_oracle(root / "data" / "plane", out / "plane" / "3_views")
         cmd.append("--skip_init")
@@ -218,6 +220,7 @@ def run_once(root: Path, iterations: int, tag: str,
             "tag": tag,
             "mode": "oracle" if oracle else "random-weight",
             "iterations": iterations,
+            "optim_test_pose_iter": pose_iters,
             "total_wall_s": round(total, 1),
             "stage_wall_s": stages,
             "time_to_psnr": t2p,
@@ -233,6 +236,11 @@ def main():
     ap.add_argument("--iterations", type=int, default=1000)
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--tag", default="")
+    ap.add_argument("--pose_iters", type=int, default=500,
+                    help="test-time pose-opt iterations per view "
+                         "(reference default 500; lower for harness runs "
+                         "on congested dev backends — recorded in the "
+                         "output)")
     ap.add_argument("--oracle", action="store_true",
                     help="stage 1 with exact oracle pointmaps (realistic "
                     "converged scene for stages 2-5; random-weight MASt3R "
@@ -245,7 +253,8 @@ def main():
         print(f"scene written under {scene_dir}")
     for i in range(args.runs):
         tag = args.tag or f"run{int(time.time())}_{i}"
-        if not run_once(root, args.iterations, tag, oracle=args.oracle):
+        if not run_once(root, args.iterations, tag, oracle=args.oracle,
+                        pose_iters=args.pose_iters):
             sys.exit(1)
 
 

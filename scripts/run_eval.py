@@ -125,6 +125,9 @@ def main():
                          "(pair-DP init_geo + sharded train renders; "
                          "-1 = all local devices). Mutually exclusive "
                          "with --jobs > 1 scene-parallelism.")
+    ap.add_argument("--optim_test_pose_iter", type=int, default=500,
+                    help="test-time pose refinement iterations per view "
+                         "(reference render.py:260)")
     ap.add_argument("--stage_timeout", type=int, default=0,
                     help="kill + retry (once) any stage exceeding this "
                          "many seconds (0 = no watchdog); guards against "
@@ -170,7 +173,9 @@ def main():
             ok = ok and run_stage(
                 py + ["instantsplat_tpu.cli.render", "-s", str(src),
                       "-m", str(out), "--n_views", nv, "--iteration", it,
-                      "--skip_train", "--eval", "--test_fps"] + shard,
+                      "--skip_train", "--eval", "--test_fps",
+                      "--optim_test_pose_iter",
+                      str(args.optim_test_pose_iter)] + shard,
                 logs / "04_render_test.log", env=env, **watchdog)
             ok = ok and run_stage(
                 py + ["instantsplat_tpu.cli.metrics", "-m", str(out),
