@@ -191,25 +191,27 @@ def _extra_metrics():
                 return mast3r.forward_from_encoded(p, cfg, f1, p1, f2, p2,
                                                    h, w)
 
+            reps = 3  # per-rep input perturbation + one host sync
+            # (identical dispatches are value-deduped on axon — CLAUDE.md)
             feats, pos = encode(params, imgs)
-            jax.block_until_ready(feats)
+            float(jnp.sum(feats[:1, :1].astype(jnp.float32)))
             t1 = _time.time()
-            feats, pos = encode(params,
-                                imgs + (0.0 * jnp.sum(feats[:, :1, :1])
-                                        ).astype(jnp.bfloat16))
-            jax.block_until_ready(feats)
+            for r in range(reps):
+                feats, pos = encode(
+                    params, imgs + jnp.bfloat16(1e-6 * (r + 1)))
+            float(jnp.sum(feats[:1, :1].astype(jnp.float32)))
             extra["mast3r_encode_ms_image_bf16"] = round(
-                (_time.time() - t1) / bs * 1e3, 2)
+                (_time.time() - t1) / reps / bs * 1e3, 2)
             r1, _ = decode(params, feats, pos, feats[::-1], pos[::-1])
-            jax.block_until_ready(r1["pts3d"])
+            float(jnp.sum(r1["pts3d"][:1, :1, :1].astype(jnp.float32)))
             t1 = _time.time()
-            r1, _ = decode(params,
-                           feats + (0.0 * jnp.sum(r1["pts3d"][:1, :1, :1])
-                                    ).astype(jnp.bfloat16),
-                           pos, feats[::-1], pos[::-1])
-            jax.block_until_ready(r1["pts3d"])
+            for r in range(reps):
+                r1, _ = decode(params,
+                               feats + jnp.bfloat16(1e-6 * (r + 1)),
+                               pos, feats[::-1], pos[::-1])
+            float(jnp.sum(r1["pts3d"][:1, :1, :1].astype(jnp.float32)))
             extra["mast3r_decode_ms_pair_bf16"] = round(
-                (_time.time() - t1) / bs * 1e3, 2)
+                (_time.time() - t1) / reps / bs * 1e3, 2)
         except Exception as e:  # noqa: BLE001
             extra["mast3r_error"] = type(e).__name__
 
