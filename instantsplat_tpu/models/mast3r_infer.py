@@ -87,6 +87,11 @@ def infer_pairs(
     # larger pair batches raise decode MFU (measured 21.6 -> 15.0 ms/pair
     # from bs 8 -> 24 on v5e), but never pad a small scene past its edges
     batch_size = max(1, min(batch_size, e))
+    if mesh is not None:
+        # pair-DP sharding splits the batch over the mesh axis: the batch
+        # must be a device-count multiple (small scenes pad up to it)
+        ndev = mesh.devices.size
+        batch_size = max(ndev, -(-batch_size // ndev) * ndev)
     ei = np.array([i for i, _ in pairs])
     ej = np.array([j for _, j in pairs])
     n_pad = ((e + batch_size - 1) // batch_size) * batch_size
