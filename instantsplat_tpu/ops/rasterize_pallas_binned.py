@@ -24,7 +24,9 @@ TPU-native, fully static-shape construction:
   applies per chunk.
 - backward walks slot chunks in reverse (per-row-block reverse order is
   preserved because segments are contiguous) and emits per-SLOT gradients;
-  a single scatter-add folds them back to per-Gaussian gradients.
+  a candidate->slot inverse map (kept from the construction sort) folds
+  them back to per-Gaussian gradients with bounded-degree gathers — a
+  [cap, 16] scatter-add is effectively serialized on TPU.
 
 Semantics are identical to the oracle (ops/rasterize.py) — validated by
 the same test harness.
@@ -128,7 +130,11 @@ def _build_bins(mean2d, conic, log_opacity, valid, y0, n_rows, cap,
     gidx = jnp.arange(n, dtype=jnp.int32)
     big = jnp.iinfo(jnp.int32).max
     keys = jnp.where(ok, rb_cand * n + gidx[:, None], big)
-    sk = jnp.sort(keys.reshape(-1))  # depth-ordered runs per row block
+    # keep the sort permutation: it yields the candidate->slot inverse map
+    # the backward's gather-based gradient fold needs (see _inv_slot_map)
+    sk, perm = jax.lax.sort(
+        (keys.reshape(-1), jnp.arange(n * d_levels, dtype=jnp.int32)),
+        num_keys=1)
     g_sorted = sk - (sk // n) * n  # == sk % n for valid entries
 
     bounds = jnp.arange(n_rb + 1, dtype=jnp.int32) * n
@@ -166,7 +172,26 @@ def _build_bins(mean2d, conic, log_opacity, valid, y0, n_rows, cap,
     seg = jnp.clip(jnp.sum(ge_c, axis=1) - 1, 0, n_rb - 1)
     rb_of_chunk = jnp.where(c0 < total, seg, -1).astype(jnp.int32)
     overflow = (total > cap) | ext_overflow
-    return slot_gauss, rb_of_chunk, overflow
+
+    # candidate -> slot inverse map [N * d_levels] (-1 = dead / overflow):
+    # per-sorted-position segment tables expand via a 97-element scatter +
+    # cumsum (sk is sorted, so each table is piecewise-constant over the
+    # `edges` segments), and a second (perm, slot) sort puts slots back in
+    # candidate order. Gather-only gradient folding rides this — a TPU
+    # scatter-add of [cap, 16] rows is effectively serialized (measured
+    # ~93 ms at cap=300k).
+    def expand(table):  # [n_rb] -> per-position values
+        delta = jnp.concatenate([table[:1], table[1:] - table[:-1]])
+        seed = jnp.zeros(n * d_levels, jnp.int32).at[edges[:-1]].add(delta)
+        return jnp.cumsum(seed)
+
+    pos = jnp.arange(n * d_levels, dtype=jnp.int32)
+    rank = pos - expand(start)
+    slot_pos = expand(pstart) + rank
+    valid_pos = (sk < big) & (slot_pos < cap)
+    _, inv_slot = jax.lax.sort(
+        (perm, jnp.where(valid_pos, slot_pos, -1)), num_keys=1)
+    return slot_gauss, rb_of_chunk, overflow, inv_slot
 
 
 # ---------------------------------------------------------------------------
@@ -455,7 +480,7 @@ def _composite_binned_fwd(
     n = mean2d.shape[0]
     packed = _pack_gaussians(
         mean2d, conic, log_opacity, colors, depth, valid, 0)
-    slot_gauss, rb_of_chunk, overflow = _build_bins(
+    slot_gauss, rb_of_chunk, overflow, inv_slot = _build_bins(
         mean2d, conic, log_opacity, valid, 0, h_pad, cap,
         d_levels=d_levels)
     binned = _gather_binned(packed, slot_gauss)
@@ -470,20 +495,18 @@ def _composite_binned_fwd(
         accs.append(acc)
         tfins.append(tfin)
         lcs.append(lc)
-    residuals = (binned, rb_of_chunk, slot_gauss, tuple(tfins),
+    residuals = (binned, rb_of_chunk, inv_slot, tuple(tfins),
                  tuple(lcs), n)
     return (tuple(accs), tuple(tfins), overflow), residuals
 
 
 def _composite_binned_bwd(h_pad, width, cap, d_levels, interpret,
                           residuals, cots):
-    binned, rb_of_chunk, slot_gauss, tfins, lcs, n = residuals
+    binned, rb_of_chunk, inv_slot, tfins, lcs, n = residuals
     g_accs, g_tfins, _ = cots
     n_pix = BLOCK_ROWS * width
 
-    dgauss = jnp.zeros((n, 16), jnp.float32)
-    safe = jnp.maximum(slot_gauss, 0)
-    slot_w = jnp.where(slot_gauss >= 0, 1.0, 0.0)[:, None]
+    dslots_sum = jnp.zeros((cap, 16), jnp.float32)
     for i, (rb_off, rows) in enumerate(_strip_plan(h_pad)):
         n_rb = rows // BLOCK_ROWS
         tfin, lc = tfins[i], lcs[i]
@@ -493,9 +516,16 @@ def _composite_binned_bwd(h_pad, width, cap, d_levels, interpret,
             g_tfins[i] is not None else jnp.zeros((n_rb, n_pix), jnp.float32)
         gtu = g_tfin * tfin
         rb_local = _local_rb_map(rb_of_chunk, rb_off, n_rb)
-        dslots = _run_bwd_strip(
+        dslots_sum = dslots_sum + _run_bwd_strip(
             binned, rb_local, g_acc, gtu, tfin, lc, n_rb, n_pix, interpret)
-        dgauss = dgauss.at[safe].add(dslots * slot_w)
+    # gather-based gradient fold: each Gaussian's <= d_levels slots come
+    # back through the candidate->slot inverse map (bounded-degree row
+    # gathers; the former [cap, 16] scatter-add is effectively serialized
+    # on TPU — measured ~93 ms at cap=300k)
+    inv = inv_slot.reshape(n, d_levels)
+    rows16 = dslots_sum[jnp.maximum(inv, 0)]  # [n, d_levels, 16]
+    dgauss = jnp.sum(
+        jnp.where((inv >= 0)[..., None], rows16, 0.0), axis=1)
     return (
         dgauss[:, 0:2],
         dgauss[:, 2:5],
@@ -556,7 +586,7 @@ def bin_overflow(
     n = mean2d.shape[0]
     n_rb_total = h_pad // BLOCK_ROWS
     cap = _round_up(max(cf * n, G_CHUNK) + n_rb_total * G_CHUNK, G_CHUNK)
-    _, _, overflow = _build_bins(
+    _, _, overflow, _ = _build_bins(
         mean2d, conic, log_opacity, valid, 0, h_pad, cap, d_levels=dl)
     return overflow
 

@@ -146,7 +146,7 @@ if __name__ == "__main__":
     @jax.jit
     def full_build(mean2d):
         pk = _pack_gaussians(mean2d, conic, log_op, colors, depth, valid, 0)
-        sg, rbc, ovf = rb._build_bins(mean2d, conic, log_op, valid, 0,
+        sg, rbc, ovf, _inv = rb._build_bins(mean2d, conic, log_op, valid, 0,
                                       h_pad, cap)
         return rb._gather_binned(pk, sg), rbc
 
