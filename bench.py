@@ -169,18 +169,26 @@ def _extra_metrics():
     except Exception as e:  # noqa: BLE001
         extra["aligner_error"] = type(e).__name__
 
-    # ---- MASt3R: production-architecture pair decode (bf16) ----
-    if _time.time() - t0 < budget * 0.5:
+    # ---- MASt3R stage-1 at its PRODUCTION operating points (bf16) ----
+    # Two regimes are recorded (VERDICT r4 item 3): the saturated batched
+    # point (pair batch 24 — what init_geo runs on >=5-view scenes, and
+    # the operating point the README/PERF_NOTES MFU claims are made at),
+    # and the honest small-scene point: a 3-view scene has exactly 3
+    # images / 6 directed pairs, so its batches CANNOT fill 24 — it is
+    # measured at its true shapes (encode bs=3, decode bs=6) and reported
+    # as measured seconds, not a projection from the big-batch rate.
+    if _time.time() - t0 < budget * 0.6:
         try:
             from instantsplat_tpu.models import mast3r
 
             cfg = mast3r.MASt3RConfig()
             params = mast3r.cast_params(mast3r.init_params(cfg, seed=0),
                                         jnp.bfloat16)
+            h, w = 384, 512
+            peak = 197e12  # v5e bf16 peak FLOP/s
+            reps = 4  # per-rep input perturbation + one host sync
+            # (identical dispatches are value-deduped on axon — CLAUDE.md)
             rng = np.random.default_rng(0)
-            bs, h, w = 4, 384, 512
-            imgs = jnp.asarray(rng.random((bs, h, w, 3), np.float32),
-                               jnp.bfloat16)
 
             @jax.jit
             def encode(p, im):
@@ -191,27 +199,72 @@ def _extra_metrics():
                 return mast3r.forward_from_encoded(p, cfg, f1, p1, f2, p2,
                                                    h, w)
 
-            reps = 3  # per-rep input perturbation + one host sync
-            # (identical dispatches are value-deduped on axon — CLAUDE.md)
-            feats, pos = encode(params, imgs)
-            float(jnp.sum(feats[:1, :1].astype(jnp.float32)))
-            t1 = _time.time()
-            for r in range(reps):
-                feats, pos = encode(
-                    params, imgs + jnp.bfloat16(1e-6 * (r + 1)))
-            float(jnp.sum(feats[:1, :1].astype(jnp.float32)))
-            extra["mast3r_encode_ms_image_bf16"] = round(
-                (_time.time() - t1) / reps / bs * 1e3, 2)
-            r1, _ = decode(params, feats, pos, feats[::-1], pos[::-1])
-            float(jnp.sum(r1["pts3d"][:1, :1, :1].astype(jnp.float32)))
-            t1 = _time.time()
-            for r in range(reps):
-                r1, _ = decode(params,
-                               feats + jnp.bfloat16(1e-6 * (r + 1)),
-                               pos, feats[::-1], pos[::-1])
-            float(jnp.sum(r1["pts3d"][:1, :1, :1].astype(jnp.float32)))
-            extra["mast3r_decode_ms_pair_bf16"] = round(
-                (_time.time() - t1) / reps / bs * 1e3, 2)
+            def _flops(compiled):
+                try:
+                    ca = compiled.cost_analysis()
+                    if isinstance(ca, (list, tuple)):
+                        ca = ca[0]
+                    return float(ca["flops"])
+                except Exception:  # noqa: BLE001
+                    return None
+
+            def time_encode(bs):
+                imgs = jnp.asarray(rng.random((bs, h, w, 3), np.float32),
+                                   jnp.bfloat16)
+                fl = _flops(encode.lower(params, imgs).compile())
+                feats, pos = encode(params, imgs)
+                float(jnp.sum(feats[:1, :1].astype(jnp.float32)))
+                t1 = _time.perf_counter()
+                for r in range(reps):
+                    feats, pos = encode(
+                        params, imgs + jnp.bfloat16(1e-6 * (r + 1)))
+                float(jnp.sum(feats[:1, :1].astype(jnp.float32)))
+                dt = (_time.perf_counter() - t1) / reps
+                return dt, fl, feats, pos
+
+            def time_decode(feats, pos, bs):
+                f1, p1 = feats[:bs], pos[:bs]
+                f2 = jnp.roll(f1, 1, axis=0)
+                p2 = jnp.roll(p1, 1, axis=0)
+                fl = _flops(decode.lower(params, f1, p1, f2, p2).compile())
+                r1, _ = decode(params, f1, p1, f2, p2)
+                float(jnp.sum(r1["pts3d"][:1, :1, :1].astype(jnp.float32)))
+                t1 = _time.perf_counter()
+                for r in range(reps):
+                    r1, _ = decode(params,
+                                   f1 + jnp.bfloat16(1e-6 * (r + 1)),
+                                   p1, f2, p2)
+                float(jnp.sum(r1["pts3d"][:1, :1, :1].astype(jnp.float32)))
+                dt = (_time.perf_counter() - t1) / reps
+                return dt, fl
+
+            # saturated point: batch 24 (init_geo's production pair batch)
+            bs = 24
+            dt_e, fl_e, feats, pos = time_encode(bs)
+            extra["mast3r_encode_ms_image_bf16_bs24"] = round(
+                dt_e / bs * 1e3, 2)
+            if fl_e:
+                extra["mast3r_encode_mfu_bs24"] = round(
+                    fl_e / dt_e / peak, 3)
+            dt_d, fl_d = time_decode(feats, pos, bs)
+            extra["mast3r_decode_ms_pair_bf16_bs24"] = round(
+                dt_d / bs * 1e3, 2)
+            if fl_d:
+                extra["mast3r_decode_mfu_bs24"] = round(
+                    fl_d / dt_d / peak, 3)
+
+            # small-scene point: the true --n_views 3 shapes
+            if _time.time() - t0 < budget * 0.8:
+                dt_e3, _, feats3, pos3 = time_encode(3)
+                f6 = jnp.concatenate([feats3, feats3])
+                p6 = jnp.concatenate([pos3, pos3])
+                dt_d6, _ = time_decode(f6, p6, 6)
+                extra["mast3r_stage1_s_at_3views_measured"] = round(
+                    dt_e3 + dt_d6, 3)
+                extra["mast3r_encode_ms_image_bf16_bs3"] = round(
+                    dt_e3 / 3 * 1e3, 2)
+                extra["mast3r_decode_ms_pair_bf16_bs6"] = round(
+                    dt_d6 / 6 * 1e3, 2)
         except Exception as e:  # noqa: BLE001
             extra["mast3r_error"] = type(e).__name__
 
@@ -219,7 +272,14 @@ def _extra_metrics():
     try:
         p = Path(__file__).parent / "BENCH_E2E.json"
         if p.exists():
-            extra["e2e"] = _json.loads(p.read_text())
+            e2e = _json.loads(p.read_text())
+            # a stale table must not impersonate a fresh measurement:
+            # surface its age right next to the replayed numbers
+            rec = e2e.get("recorded_unix")
+            if rec is not None:
+                e2e["e2e_age_days"] = round(
+                    (_time.time() - float(rec)) / 86400.0, 2)
+            extra["e2e"] = e2e
     except Exception:
         pass
     return extra

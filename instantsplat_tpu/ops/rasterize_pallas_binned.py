@@ -626,7 +626,12 @@ def sizing_margin(cf_raw: float, dl_raw: int) -> tuple[int, int]:
     d_levels floors low — the candidate-key SORT is O(N * d_levels) and
     dominates bin construction (measured 5.2 ms of a 14 ms build at
     d_levels=16), so small-splat scenes should not pay the default-16
-    ballast. Overflow from drift demotes via the driver's guard."""
+    ballast. Drift protection is two-layered: eager binned renders hit the
+    driver's rate-limited demotion guard, and the training loop's periodic
+    backend re-probe re-runs this sizing against the CURRENT params every
+    250 iterations, rebuilding the scan program when capacities grew
+    (pipelines.trainer — the in-scan path itself cannot demote on
+    tracers)."""
     import math
 
     return max(CAP_FACTOR, math.ceil(float(cf_raw)) + 1), \

@@ -135,13 +135,17 @@ def make_pose_refiner(params, camera: Camera, backend="pallas",
     beta1, beta2, eps = 0.9, 0.999, 1e-8
     budget = float(os.environ.get("INSTANTSPLAT_DISPATCH_BUDGET_S", 20.0))
 
-    def loss_fn(pose, gt):
-        out = render(params, camera, pose=pose, bg=bg, backend=backend)
+    def loss_fn(pose, gt, intr):
+        # intr [4] = (fx, fy, cx, cy): threaded per call so one compiled
+        # refiner serves test sets whose same-resolution cameras carry
+        # per-view focals (externally produced sparse dirs)
+        cam = camera.replace(fx=intr[0], fy=intr[1], cx=intr[2], cy=intr[3])
+        out = render(params, cam, pose=pose, bg=bg, backend=backend)
         mask = (out.render > 0.0).astype(jnp.float32)
         return masked_l1_loss(out.render, gt, mask)
 
     @jax.jit
-    def refine_block(start, n, carry, gt):
+    def refine_block(start, n, carry, gt, intr):
         def step(k, carry):
             pose, m, v, best_pose, best_loss = carry
             t = (start + k).astype(jnp.float32)
@@ -150,7 +154,7 @@ def make_pose_refiner(params, camera: Camera, backend="pallas",
             cur_q = lr_min + (lr_q - lr_min) * cos
             lr_vec = jnp.concatenate(
                 [jnp.full(4, cur_q), jnp.full(3, cur_t)])
-            loss, g = jax.value_and_grad(loss_fn)(pose, gt)
+            loss, g = jax.value_and_grad(loss_fn)(pose, gt, intr)
             g = g + weight_decay * pose  # AdamW-style decay (torch Adam
             # weight_decay adds wd*p to the gradient)
             m = beta1 * m + (1 - beta1) * g
@@ -168,7 +172,9 @@ def make_pose_refiner(params, camera: Camera, backend="pallas",
 
     cal = {"block": None}  # calibrated once, shared across views
 
-    def refine(pose0, gt):
+    def refine(pose0, gt, intr=None):
+        if intr is None:
+            intr = jnp.stack([camera.fx, camera.fy, camera.cx, camera.cy])
         carry = (pose0, jnp.zeros_like(pose0), jnp.zeros_like(pose0),
                  pose0, jnp.inf)
         done = 0
@@ -181,7 +187,7 @@ def make_pose_refiner(params, camera: Camera, backend="pallas",
                     break
                 t0 = _time.perf_counter()
                 carry = refine_block(jnp.int32(done), jnp.int32(n), carry,
-                                     gt)
+                                     gt, intr)
                 jax.block_until_ready(carry[4])
                 per_iter = (_time.perf_counter() - t0) / n
                 done += n
@@ -190,7 +196,8 @@ def make_pose_refiner(params, camera: Camera, backend="pallas",
         cur = cal["block"] or block
         while done < num_iter:
             n = min(cur, num_iter - done)
-            carry = refine_block(jnp.int32(done), jnp.int32(n), carry, gt)
+            carry = refine_block(jnp.int32(done), jnp.int32(n), carry, gt,
+                                 intr)
             done += n
         return carry[3], carry[4]
 
@@ -200,7 +207,7 @@ def make_pose_refiner(params, camera: Camera, backend="pallas",
 def refine_poses_sharded(params, camera, poses0, gts, mesh,
                          backend="pallas", num_iter=500, lr_t=3e-3,
                          lr_q=1e-3, lr_min=1e-4, weight_decay=1e-4,
-                         bg=None, block=50):
+                         bg=None, block=50, intrinsics=None):
     """Batched test-time pose refinement: ALL V independent per-view
     refinements (render.py:99-186) advance inside one dispatch per block
     (lax.map over views), cutting the host round-trips V-fold vs the
@@ -211,6 +218,8 @@ def refine_poses_sharded(params, camera, poses0, gts, mesh,
     (execution-deadline rule, CLAUDE.md).
 
     poses0 [V, 7], gts [V, H, W, 3] -> (best_poses [V, 7], best_loss [V]).
+    `intrinsics` [V, 4] = per-view (fx, fy, cx, cy); defaults to `camera`'s
+    for every view (pipeline-written scenes share one camera record).
     """
     import functools
     import os
@@ -228,19 +237,26 @@ def refine_poses_sharded(params, camera, poses0, gts, mesh,
     v_pad = ((v + ndev - 1) // ndev) * ndev
     poses0 = jnp.asarray(poses0, jnp.float32)
     gts = jnp.asarray(gts, jnp.float32)
+    if intrinsics is None:
+        one = jnp.stack([camera.fx, camera.fy, camera.cx, camera.cy])
+        intrinsics = jnp.tile(one[None, :], (v, 1))
+    intrinsics = jnp.asarray(intrinsics, jnp.float32)
     if v_pad > v:  # pad with copies of view 0 (discarded after)
         poses0 = jnp.concatenate(
             [poses0, jnp.tile(poses0[:1], (v_pad - v, 1))])
         gts = jnp.concatenate([gts, jnp.tile(gts[:1], (v_pad - v, 1, 1, 1))])
+        intrinsics = jnp.concatenate(
+            [intrinsics, jnp.tile(intrinsics[:1], (v_pad - v, 1))])
     beta1, beta2, eps = 0.9, 0.999, 1e-8
     budget = float(os.environ.get("INSTANTSPLAT_DISPATCH_BUDGET_S", 20.0))
 
-    def loss_fn(pose, gt):
-        out = render(params, camera, pose=pose, bg=bg, backend=backend)
+    def loss_fn(pose, gt, intr):
+        cam = camera.replace(fx=intr[0], fy=intr[1], cx=intr[2], cy=intr[3])
+        out = render(params, cam, pose=pose, bg=bg, backend=backend)
         mask = (out.render > 0.0).astype(jnp.float32)
         return masked_l1_loss(out.render, gt, mask)
 
-    def view_block(start, n, carry, gt):
+    def view_block(start, n, carry, gt, intr):
         def step(k, carry):
             pose, m, vv, best_pose, best_loss = carry
             t = (start + k).astype(jnp.float32)
@@ -249,7 +265,7 @@ def refine_poses_sharded(params, camera, poses0, gts, mesh,
             cur_q = lr_min + (lr_q - lr_min) * cos
             lr_vec = jnp.concatenate(
                 [jnp.full(4, cur_q), jnp.full(3, cur_t)])
-            loss, g = jax.value_and_grad(loss_fn)(pose, gt)
+            loss, g = jax.value_and_grad(loss_fn)(pose, gt, intr)
             g = g + weight_decay * pose
             m = beta1 * m + (1 - beta1) * g
             vv = beta2 * vv + (1 - beta2) * g * g
@@ -264,18 +280,18 @@ def refine_poses_sharded(params, camera, poses0, gts, mesh,
         return jax.lax.fori_loop(0, n, step, carry)
 
     @jax.jit
-    def block_fn(start, n, carry, gts_b):
-        def run_local(carry_local, gt_local):
+    def block_fn(start, n, carry, gts_b, intr_b):
+        def run_local(carry_local, gt_local, intr_local):
             return jax.lax.map(
-                lambda cg: view_block(start, n, cg[0], cg[1]),
-                (carry_local, gt_local))
+                lambda cgi: view_block(start, n, cgi[0], cgi[1], cgi[2]),
+                (carry_local, gt_local, intr_local))
 
         if mesh is None:
-            return run_local(carry, gts_b)
+            return run_local(carry, gts_b, intr_b)
         run = functools.partial(
-            jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+            jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)),
             out_specs=P(axis), check_vma=False)(run_local)
-        return run(carry, gts_b)
+        return run(carry, gts_b, intr_b)
 
     carry = (poses0, jnp.zeros_like(poses0), jnp.zeros_like(poses0),
              poses0, jnp.full((v_pad,), jnp.inf))
@@ -293,7 +309,8 @@ def refine_poses_sharded(params, camera, poses0, gts, mesh,
             if n <= 0:
                 break
             t0 = _time.perf_counter()
-            carry = block_fn(jnp.int32(done), jnp.int32(n), carry, gts)
+            carry = block_fn(jnp.int32(done), jnp.int32(n), carry, gts,
+                             intrinsics)
             jax.block_until_ready(carry[4])
             per_iter = (_time.perf_counter() - t0) / n
             done += n
@@ -303,7 +320,8 @@ def refine_poses_sharded(params, camera, poses0, gts, mesh,
     last_report = 0
     while done < num_iter:
         n = min(cur, num_iter - done)
-        carry = block_fn(jnp.int32(done), jnp.int32(n), carry, gts)
+        carry = block_fn(jnp.int32(done), jnp.int32(n), carry, gts,
+                         intrinsics)
         done += n
         if done - last_report >= 100 or done >= num_iter:
             jax.block_until_ready(carry[4])
@@ -338,16 +356,26 @@ def render_set_optimize(
         # sharded over `mesh` when given) — the per-view path below
         # remains for mixed-shape test sets
         gts = jnp.stack([c.image for c in cameras])
+        intr = jnp.stack([jnp.stack([c.fx, c.fy, c.cx, c.cy])
+                          for c in cameras])
         refined_arr, _ = refine_poses_sharded(
             params, cameras[0], jnp.asarray(np.asarray(poses7)), gts, mesh,
-            backend=backend, num_iter=num_iter, bg=bg)
+            backend=backend, num_iter=num_iter, bg=bg, intrinsics=intr)
         refined = [np.asarray(p) for p in refined_arr]
     else:
         refined = []
-        refiner = make_pose_refiner(
-            params, cameras[0], backend=backend, num_iter=num_iter, bg=bg)
+        # one refiner per raster shape (static H/W compile to the render);
+        # per-view intrinsics are threaded dynamically so same-shape views
+        # share the compilation
+        refiner_of_shape: dict = {}
         for idx, cam in enumerate(cameras):
-            best_pose, _ = refiner(jnp.asarray(poses7[idx]), cam.image)
+            key = (cam.height, cam.width)
+            if key not in refiner_of_shape:
+                refiner_of_shape[key] = make_pose_refiner(
+                    params, cam, backend=backend, num_iter=num_iter, bg=bg)
+            best_pose, _ = refiner_of_shape[key](
+                jnp.asarray(poses7[idx]), cam.image,
+                intr=jnp.stack([cam.fx, cam.fy, cam.cx, cam.cy]))
             refined.append(np.asarray(best_pose))
 
     for idx, cam in enumerate(cameras):

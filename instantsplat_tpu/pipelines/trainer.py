@@ -230,6 +230,20 @@ def _binned_candidate(params, camera) -> Optional[str]:
         return None
 
 
+def _binned_caps_grew(old: str, new: str) -> bool:
+    """True when `new`'s binned capacities exceed `old`'s in either
+    dimension — the only case a rebuilt (recompiled) scan program is
+    required for correctness; smaller fresh requirements are still
+    drop-free under the baked (larger) capacities."""
+    from instantsplat_tpu.render.driver import _parse_binned_caps
+
+    ocf, odl = _parse_binned_caps(old)
+    ncf, ndl = _parse_binned_caps(new)
+    if None in (ocf, odl, ncf, ndl):
+        return old != new
+    return ncf > ocf or ndl > odl
+
+
 def train_joint(
     params: GaussianModel,
     cameras: list[Camera],
@@ -313,6 +327,8 @@ def train_joint(
 
         backend = trainer_cfg.backend
         alt_fn = None
+        cur_name = backend
+        alt_name = None
         if backend == "auto" and mesh is not None:
             # sharded renders use the dense kernel per chip; the binned
             # probe's capacity sizing is per-chip-row-block dependent, so
@@ -328,8 +344,10 @@ def train_joint(
             # keep the faster; skip binned when its bins would overflow
             # (the dense kernel never drops splats).
             backend = "pallas"
+            cur_name = backend
             alt_backend = _binned_candidate(params, cameras[0])
             if alt_backend is not None:
+                alt_name = alt_backend
                 alt_fn = make_train_scan(
                     optimizer, stacked, bg, opt_cfg.lambda_dssim,
                     alt_backend, trainer_cfg.chunk,
@@ -390,7 +408,51 @@ def train_joint(
                   else block_fn)
             if (warm_probed and alt_fn is not None and reprobe_state == 0
                     and it >= next_reprobe):
-                reprobe_state = 1
+                # Before timing/adopting a backend, re-size the binned
+                # kernel's capacities against the CURRENT scene: they were
+                # baked into the backend string at iteration 0, the scene
+                # drifts during training, and inside a jitted scan the
+                # driver's overflow demotion guard cannot run (tracers) —
+                # an overflowing binned program silently drops splats AND
+                # times faster, biasing the re-probe toward adopting
+                # exactly the broken configuration.
+                binned_side = (
+                    "cur" if cur_name.startswith("pallas-binned")
+                    else "alt" if (alt_name or "").startswith("pallas-binned")
+                    else None)
+                start_timing = True
+                if binned_side is not None:
+                    fresh = _binned_candidate(params, cameras[0])
+                    old = cur_name if binned_side == "cur" else alt_name
+                    if fresh is None:
+                        # scene drifted out of binned territory entirely
+                        if binned_side == "cur":
+                            block_fn, alt_fn = alt_fn, block_fn
+                            cur_name, alt_name = alt_name, cur_name
+                            print("[train] backend auto: demoting binned at "
+                                  f"iter {it} — required capacities now "
+                                  "unreasonable for this scene", flush=True)
+                        start_timing = False  # skip this window; retry later
+                    elif _binned_caps_grew(old, fresh):
+                        fn_new = make_train_scan(
+                            optimizer, stacked, bg, opt_cfg.lambda_dssim,
+                            fresh, trainer_cfg.chunk)
+                        if binned_side == "cur":
+                            block_fn, cur_name = fn_new, fresh
+                        else:
+                            alt_fn, alt_name = fn_new, fresh
+                        print(f"[train] backend auto: binned capacities "
+                              f"resized {old} -> {fresh} at iter {it}",
+                              flush=True)
+                if start_timing:
+                    reprobe_state = 1
+                    # drain previously enqueued async scan blocks so the
+                    # timed block's wall time doesn't include the backlog
+                    # (steady-state blocks don't sync; params chains
+                    # through every enqueued block)
+                    jax.block_until_ready(params)
+                else:
+                    next_reprobe = it + reprobe_every
             if reprobe_state == 2:
                 fn = alt_fn
             t_blk = time.time()
@@ -409,6 +471,7 @@ def train_joint(
                 per_other = (time.time() - t_blk) / max(1, end - it + 1)
                 if per_other < 0.87 * per_cur_probe:
                     block_fn, alt_fn = alt_fn, block_fn
+                    cur_name, alt_name = alt_name, cur_name
                     print(f"[train] backend auto: switching at iter {it} — "
                           f"other backend {per_other * 1e3:.0f} ms/iter "
                           f"beats current {per_cur_probe * 1e3:.0f}",
@@ -422,7 +485,11 @@ def train_joint(
                 if alt_fn is not None:
                     per_alt = per_iter
                     if per_alt < per_iter_main:
-                        block_fn = alt_fn
+                        # swap (not assign): the dense fn must survive as
+                        # the alternate so later re-probes compare the two
+                        # real backends, not binned against itself
+                        block_fn, alt_fn = alt_fn, block_fn
+                        cur_name, alt_name = alt_name, cur_name
                         win, lose = "binned", "dense"
                     else:
                         per_iter = per_iter_main

@@ -156,15 +156,59 @@ def main():
         "tflops_per_s": round(dec_tflops, 1),
         "mfu": round(dec_tflops * 1e12 / peak, 3)}))
 
-    # ---- workload projection: complete symmetrized pair sweeps ----
-    ms_img = dt_enc / bs * 1e3
+    # ---- workload table: complete symmetrized pair sweeps ----
+    # Small scenes cannot fill the big batch (a 3-view scene has 3 images
+    # / 6 directed pairs), so per-view-count numbers are MEASURED at the
+    # true operating shapes: encode at bs=min(v, bs), full decode batches
+    # at bs plus one measured partial batch for the remainder — not a
+    # projection from the saturated per-pair rate (VERDICT r4 item 3).
+    enc_cache = {bs: dt_enc}
+    dec_cache = {bs: dt_dec}
+
+    def enc_time(b):
+        if b not in enc_cache:
+            im = jnp.asarray(rng.random((b, h, w, 3), np.float32), dtype)
+            f, _ = encode(params, im)
+            float(jnp.sum(f[:1, :1].astype(jnp.float32)))
+            t0 = time.perf_counter()
+            for r in range(args.reps):
+                f, _ = encode(params, im + jnp.asarray(1e-6 * (r + 1),
+                                                       dtype))
+            float(jnp.sum(f[:1, :1].astype(jnp.float32)))
+            enc_cache[b] = (time.perf_counter() - t0) / args.reps
+        return enc_cache[b]
+
+    def dec_time(b):
+        if b not in dec_cache:
+            fb, pb = feats[:1].repeat(b, 0), pos[:1].repeat(b, 0)
+            r1b, _ = decode(params, fb, pb, fb, pb)
+            float(jnp.sum(r1b["pts3d"][:1, :1, :1].astype(jnp.float32)))
+            t0 = time.perf_counter()
+            for r in range(args.reps):
+                r1b, _ = decode(params,
+                                fb + jnp.asarray(1e-6 * (r + 1), dtype),
+                                pb, fb, pb)
+            float(jnp.sum(r1b["pts3d"][:1, :1, :1].astype(jnp.float32)))
+            dec_cache[b] = (time.perf_counter() - t0) / args.reps
+        return dec_cache[b]
+
     for v in args.views:
         pairs = v * (v - 1)
-        total_s = (v * ms_img + pairs * ms_pair) / 1e3
+        enc_s = 0.0
+        ve = v
+        while ve > 0:
+            b = min(ve, bs)
+            enc_s += enc_time(b)
+            ve -= b
+        dec_s = (pairs // bs) * dec_time(bs)
+        if pairs % bs:
+            dec_s += dec_time(pairs % bs)
+        total_s = enc_s + dec_s
         print(json.dumps({
             "metric": f"stage-1 chip seconds @ {v} views "
-                      f"({pairs} directed pairs)",
-            "value": round(total_s, 2), "unit": "s"}))
+                      f"({pairs} directed pairs, true batch shapes)",
+            "value": round(total_s, 2), "unit": "s",
+            "encode_s": round(enc_s, 3), "decode_s": round(dec_s, 3)}))
 
     combined = (enc_flops + dec_flops) / (dt_enc + dt_dec)
     print(json.dumps({
