@@ -99,7 +99,10 @@ def main():
             its = jnp.arange(it, it + SCAN_K, dtype=jnp.int32)
             params, state, m = block(params, state, vids, its, 3)
             it += SCAN_K
-        jax.block_until_ready(m["loss"])
+        # host-scalar read, not block_until_ready: on axon the latter can
+        # return before execution (observed an impossible 12.6 Gpix/s
+        # headline); the float() forces the whole chained queue to drain
+        float(jnp.sum(m["loss"]))
         return it
 
     it = run_blocks(TRAIN_IN // SCAN_K, 1)  # burn-in to mid-training state

@@ -27,6 +27,66 @@ _F32, _U32 = 5126, 5125
 _ARRAY_BUF, _ELEMENT_BUF = 34962, 34963
 
 
+def _cv_hsv_bgr_quirk(img_u8):
+    """OpenCV-convention HSV planes (H in [0,180), S/V in [0,255]) of a
+    uint8 image whose channels are interpreted as B, G, R — replicating
+    the reference's quirk of passing its RGB rasters to
+    cv2.COLOR_BGR2HSV (dust3r/viz.py:351): hue is computed with the R
+    and B channels swapped, and the downstream "blue sky" threshold
+    (hue <= 30) was tuned in that swapped space, so real RGB blue lands
+    at hue ~0 and matches."""
+    cv_b = img_u8[..., 0].astype(np.float32)
+    cv_g = img_u8[..., 1].astype(np.float32)
+    cv_r = img_u8[..., 2].astype(np.float32)
+    v = np.maximum(np.maximum(cv_r, cv_g), cv_b)
+    mn = np.minimum(np.minimum(cv_r, cv_g), cv_b)
+    delta = v - mn
+    safe = np.maximum(delta, 1e-12)
+    s = np.where(v > 0, delta * 255.0 / np.maximum(v, 1e-12), 0.0)
+    h = np.where(
+        v == cv_r, 60.0 * (cv_g - cv_b) / safe,
+        np.where(v == cv_g, 120.0 + 60.0 * (cv_b - cv_r) / safe,
+                 240.0 + 60.0 * (cv_r - cv_g) / safe))
+    h = np.where(delta > 0, h, 0.0)
+    h = np.where(h < 0, h + 360.0, h)
+    return (np.round(h / 2.0) % 180, np.round(s), v)
+
+
+def segment_sky(image):
+    """Heuristic sky segmentation (reference dust3r/viz.py:345-389): HSV
+    blue + luminous-gray thresholds, 5x5 binary opening, then keep every
+    8-connected component at least half the size of the largest. cv2 is
+    not installed in this environment, so the HSV conversion (including
+    the reference's RGB-passed-as-BGR channel quirk — see
+    _cv_hsv_bgr_quirk) and the component labelling run on
+    numpy/scipy.ndimage. Returns a [H, W] bool mask."""
+    from scipy import ndimage
+
+    image = np.asarray(image)
+    if np.issubdtype(image.dtype, np.floating):
+        image = np.uint8(255 * image.clip(min=0, max=1))
+    h, s, v = _cv_hsv_bgr_quirk(image)
+
+    # cv2.inRange(hsv, [0, 0, 100], [30, 255, 255])
+    mask = (h <= 30) & (v >= 100)
+    # luminous gray (viz.py:360-363)
+    mask |= (s < 10) & (v > 150)
+    mask |= (s < 30) & (v > 180)
+    mask |= (s < 50) & (v > 220)
+
+    mask = ndimage.binary_opening(mask, structure=np.ones((5, 5), bool))
+
+    labels, n = ndimage.label(mask, structure=np.ones((3, 3), np.int32))
+    if n == 0:
+        return np.zeros(mask.shape, bool)
+    sizes = np.bincount(labels.ravel())[1:]
+    # the reference walks components biggest-first and stops at the first
+    # one not larger than half the biggest — with a descending order that
+    # is exactly "keep every component > max/2"
+    keep = np.flatnonzero(sizes > sizes.max() / 2) + 1
+    return np.isin(labels, keep)
+
+
 def depthmap_to_pts3d(depth, intrinsics, cam2world=None):
     """[H,W] depth + K -> [H,W,3] points (camera frame, or world with
     cam2world), pinhole model (dust3r/utils/geometry.py role)."""

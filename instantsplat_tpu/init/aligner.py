@@ -564,6 +564,26 @@ class GlobalAligner:
         return ((gy[None] < self.shapes[:, 0, None, None])
                 & (gx[None] < self.shapes[:, 1, None, None]))
 
+    def mask_sky(self, images):
+        """Zero sky-pixel confidence (reference base_opt.py:288-295):
+        returns a deep copy of this aligner whose im_conf is zeroed
+        wherever eval.viz.segment_sky fires on the corresponding image.
+
+        `images`: [V] sequence of [h, w, 3] RGB rasters in [0, 1] floats
+        or uint8 — the reference keeps them on the optimizer
+        (base_opt.py:120 self.imgs); this aligner stores only predictions,
+        so the caller passes them. Mixed-aspect canvases are handled: a
+        raster smaller than the canvas masks only its true extent."""
+        import copy as _copy
+
+        from instantsplat_tpu.eval.viz import segment_sky
+
+        res = _copy.deepcopy(self)
+        for i in range(self.n_imgs):
+            sky = segment_sky(np.asarray(images[i]))
+            res.im_conf[i][:sky.shape[0], :sky.shape[1]][sky] = 0.0
+        return res
+
     def get_pts3d(self):
         """[V, H, W, 3] world-space pointmaps."""
         f = self.get_focals()[:, None, None]

@@ -55,21 +55,43 @@ def resolve_backend(params, camera, pose, bg, backend):
     from instantsplat_tpu.pipelines.trainer import (
         _MAX_BINNED_CAP_FACTOR,
         _MAX_BINNED_D_LEVELS,
+        _MAX_TILED_LEVEL_PRODUCT,
     )
-    from instantsplat_tpu.render.driver import binned_view_requirements
+    from instantsplat_tpu.render.driver import (
+        binned_view_requirements,
+        tiled_view_requirements,
+    )
 
+    candidates = ["pallas"]
     try:
-        cf, dl = binned_view_requirements(params, pose, camera)
+        from instantsplat_tpu.ops.rasterize_pallas_tiled import (
+            BLOCK_ROWS, COL_W, _round_up,
+        )
+
+        n = int(params.xyz.shape[0])
+        n_tiles = ((_round_up(camera.height, BLOCK_ROWS) // BLOCK_ROWS)
+                   * (_round_up(camera.width, COL_W) // COL_W))
+        if n_tiles * (n + 1) < 2**31:
+            cf, dy, dx = tiled_view_requirements(params, pose, camera)
+            if (cf <= _MAX_BINNED_CAP_FACTOR
+                    and dy * dx <= _MAX_TILED_LEVEL_PRODUCT):
+                candidates.append(f"pallas-tiled:{cf}:{dy}:{dx}")
     except Exception as e:  # noqa: BLE001 — see trainer._binned_candidate
         logging.getLogger(__name__).warning(
-            "backend auto: binned sizing probe failed (%s: %s); "
-            "falling back to dense", type(e).__name__, e)
-        return "pallas"
-    if cf > _MAX_BINNED_CAP_FACTOR or dl > _MAX_BINNED_D_LEVELS:
-        return "pallas"
-    binned = f"pallas-binned:{cf}:{dl}"
+            "backend auto: tiled sizing probe failed (%s: %s)",
+            type(e).__name__, e)
+    if len(candidates) == 1:
+        # 2-D tiles out of range (giant splats) — try the 1-D binned bins
+        try:
+            cf, dl = binned_view_requirements(params, pose, camera)
+            if cf <= _MAX_BINNED_CAP_FACTOR and dl <= _MAX_BINNED_D_LEVELS:
+                candidates.append(f"pallas-binned:{cf}:{dl}")
+        except Exception as e:  # noqa: BLE001
+            logging.getLogger(__name__).warning(
+                "backend auto: binned sizing probe failed (%s: %s); "
+                "falling back to dense", type(e).__name__, e)
     timed = {}
-    for cand in ("pallas", binned):
+    for cand in candidates:
         out = render(params, camera, pose=pose, bg=bg, backend=cand)
         jax.block_until_ready(out.render)  # compile + warm
         t0 = _time.perf_counter()
@@ -78,8 +100,8 @@ def resolve_backend(params, camera, pose, bg, backend):
         timed[cand] = _time.perf_counter() - t0
     pick = min(timed, key=timed.get)
     logging.getLogger(__name__).info(
-        "backend auto: %s (dense %.1f ms, binned %.1f ms per forward)",
-        pick, timed["pallas"] * 1e3, timed[binned] * 1e3)
+        "backend auto: %s (%s per forward)", pick,
+        ", ".join(f"{c}={timed[c] * 1e3:.1f} ms" for c in timed))
     return pick
 
 

@@ -198,20 +198,48 @@ def make_train_scan(
     return train_block
 
 
-# backend='auto': refuse binned above these capacities (slot memory and
-# bin-construction cost scale with cap_factor * N; extreme requirements
-# mean the scene is dense-kernel territory anyway)
+# backend='auto': refuse binned/tiled above these capacities (slot memory
+# and bin-construction cost scale with cap_factor * N and with the
+# candidate level product; extreme requirements mean the scene is
+# dense-kernel territory anyway)
 _MAX_BINNED_CAP_FACTOR = 16
 _MAX_BINNED_D_LEVELS = 64
+_MAX_TILED_LEVEL_PRODUCT = 64  # dy * dx (the candidate sort is O(N*dy*dx))
+
+
+def _tiled_candidate(params, camera) -> Optional[str]:
+    """'pallas-tiled:CF:DY:DX' sized for the CURRENT scene, or None when
+    out of range (huge splats blow the level product; huge images blow
+    the int32 tile*splat key space)."""
+    from instantsplat_tpu.ops.rasterize_pallas_tiled import (
+        BLOCK_ROWS, COL_W, _round_up,
+    )
+    from instantsplat_tpu.render.driver import tiled_view_requirements
+
+    n = int(params.xyz.shape[0])
+    n_tiles = ((_round_up(camera.height, BLOCK_ROWS) // BLOCK_ROWS)
+               * (_round_up(camera.width, COL_W) // COL_W))
+    if n_tiles * (n + 1) >= 2**31:
+        return None
+    cf, dy, dx = tiled_view_requirements(params, params.get_pose(0), camera)
+    if cf > _MAX_BINNED_CAP_FACTOR or dy * dx > _MAX_TILED_LEVEL_PRODUCT:
+        return None
+    return f"pallas-tiled:{cf}:{dy}:{dx}"
 
 
 def _binned_candidate(params, camera) -> Optional[str]:
-    """Host-side sizing for backend='auto': the 'pallas-binned:CF:DL'
-    backend string whose bin capacity holds every splat of the CURRENT
-    scene state (dense never drops splats — the same guarantee the
-    driver's demotion guard enforces), or None when the needed capacity
-    is unreasonable."""
+    """Host-side sizing for backend='auto': the non-dense candidate
+    backend string whose capacities hold every splat of the CURRENT scene
+    state (dense never drops splats — the same guarantee the driver's
+    demotion guard enforces), or None when the needed capacity is
+    unreasonable. Prefers the 2-D tiled kernel (strictly tighter culling
+    than the 1-D binned one — PERF_NOTES roadmap item 6); falls back to
+    1-D binned when the tile levels are out of range (giant-splat
+    scenes)."""
     try:
+        cand = _tiled_candidate(params, camera)
+        if cand is not None:
+            return cand
         from instantsplat_tpu.render.driver import binned_view_requirements
 
         cf, dl = binned_view_requirements(params, params.get_pose(0), camera)
@@ -230,18 +258,21 @@ def _binned_candidate(params, camera) -> Optional[str]:
         return None
 
 
-def _binned_caps_grew(old: str, new: str) -> bool:
-    """True when `new`'s binned capacities exceed `old`'s in either
-    dimension — the only case a rebuilt (recompiled) scan program is
-    required for correctness; smaller fresh requirements are still
-    drop-free under the baked (larger) capacities."""
-    from instantsplat_tpu.render.driver import _parse_binned_caps
+def _is_capacity_backend(name: Optional[str]) -> bool:
+    return bool(name) and name.startswith(("pallas-binned", "pallas-tiled"))
 
-    ocf, odl = _parse_binned_caps(old)
-    ncf, ndl = _parse_binned_caps(new)
-    if None in (ocf, odl, ncf, ndl):
+
+def _binned_caps_grew(old: str, new: str) -> bool:
+    """True when `new`'s capacities exceed `old`'s in any dimension — the
+    only case a rebuilt (recompiled) scan program is required for
+    correctness; smaller fresh requirements are still drop-free under the
+    baked (larger) capacities. A kernel-kind change (tiled <-> binned)
+    always rebuilds."""
+    okind, *ocaps = old.split(":")
+    nkind, *ncaps = new.split(":")
+    if okind != nkind or len(ocaps) != len(ncaps) or not ocaps:
         return old != new
-    return ncf > ocf or ndl > odl
+    return any(int(nc) > int(oc) for oc, nc in zip(ocaps, ncaps))
 
 
 def train_joint(
@@ -417,8 +448,8 @@ def train_joint(
                 # times faster, biasing the re-probe toward adopting
                 # exactly the broken configuration.
                 binned_side = (
-                    "cur" if cur_name.startswith("pallas-binned")
-                    else "alt" if (alt_name or "").startswith("pallas-binned")
+                    "cur" if _is_capacity_backend(cur_name)
+                    else "alt" if _is_capacity_backend(alt_name)
                     else None)
                 start_timing = True
                 if binned_side is not None:

@@ -33,6 +33,7 @@ from instantsplat_tpu.ops import (
     rasterize,
     rasterize_pallas,
     rasterize_pallas_binned,
+    rasterize_pallas_tiled,
 )
 
 
@@ -234,6 +235,17 @@ def _render_impl(
             mean2d, conic, log_op, colors, depth, valid,
             height=height, width=width, bg=bg, chunk=chunk,
         )
+    elif backend.startswith("pallas-tiled"):
+        # 2-D (row-block x column-bucket) gather lists — the CUDA 16x16
+        # tile analogue (rasterize_pallas_tiled). Wins on small-splat /
+        # uniform-depth scenes where the 1-D binned kernel wastes ~99% of
+        # each full-width falloff block. Optional capacity suffix
+        # "pallas-tiled:CF:DY:DX" (sized by tile_requirements).
+        cf, dy, dx = _parse_tiled_caps(backend)
+        out = rasterize_pallas_tiled.composite_tiles_2d(
+            mean2d, conic, log_op, colors, depth, valid,
+            height=height, width=width, bg=bg, cap_factor=cf,
+            dy_levels=dy, dx_levels=dx)
     elif backend.startswith("pallas-binned"):
         # per-row-block gather lists (CUDA-style tile binning): amortized
         # O(sum extents) compute — wins when termination/bitmap skipping is
@@ -267,6 +279,14 @@ def _parse_binned_caps(backend: str):
     if len(parts) == 3:
         return int(parts[1]), int(parts[2])
     return None, None
+
+
+def _parse_tiled_caps(backend: str):
+    """"pallas-tiled[:CF:DY:DX]" -> (cap_factor, dy, dx) or Nones."""
+    parts = backend.split(":")
+    if len(parts) == 4:
+        return int(parts[1]), int(parts[2]), int(parts[3])
+    return None, None, None
 
 # Binned-backend overflow guard. The kernels cannot warn inline (axon has no
 # debug callbacks — CLAUDE.md), so the driver checks the bin-capacity flag
@@ -310,6 +330,53 @@ def binned_view_requirements(gaussians, pose, camera,
         gaussians, pose, camera.fx, camera.fy, camera.cx, camera.cy,
         jnp.float32(scale_modifier), camera.height, camera.width)
     return sizing_margin(float(cf), int(dl))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width"))
+def _tiled_sizing_impl(gaussians, pose, fx, fy, cx, cy, scale_modifier,
+                       height: int, width: int):
+    """Device probe for 2-D tile sizing: (cap_factor float, dy int,
+    dx int) the CURRENT scene state needs, as one jitted program."""
+    from instantsplat_tpu.ops.rasterize_pallas_tiled import (
+        _tile_requirements_impl,
+    )
+
+    (mean2d, conic, log_op, _, _, valid), _ = prepare_sorted_splats(
+        gaussians, pose, fx, fy, cx, cy, scale_modifier, 0, height, width,
+    )
+    return _tile_requirements_impl(mean2d, conic, log_op, valid,
+                                   height, width)
+
+
+def tiled_view_requirements(gaussians, pose, camera,
+                            scale_modifier: float = 1.0,
+                            ) -> tuple[int, int, int]:
+    """Host-side (cap_factor, dy_levels, dx_levels) this view needs for a
+    drop-free 2-D tiled build, with the standard drift margin
+    (rasterize_pallas_tiled.sizing_margin_2d)."""
+    from instantsplat_tpu.ops.rasterize_pallas_tiled import sizing_margin_2d
+
+    cf, dy, dx = _tiled_sizing_impl(
+        gaussians, pose, camera.fx, camera.fy, camera.cx, camera.cy,
+        jnp.float32(scale_modifier), camera.height, camera.width)
+    return sizing_margin_2d(float(cf), int(dy), int(dx))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("active_sh_degree", "height", "width", "cf", "dy",
+                     "dx"))
+def _tiled_overflow_impl(gaussians, pose, fx, fy, cx, cy, scale_modifier,
+                         active_sh_degree: int, height: int, width: int,
+                         cf=None, dy=None, dx=None):
+    (mean2d, conic, log_op, _, _, valid), _ = prepare_sorted_splats(
+        gaussians, pose, fx, fy, cx, cy, scale_modifier, active_sh_degree,
+        height, width,
+    )
+    return rasterize_pallas_tiled.tile_overflow(
+        mean2d, conic, log_op, valid, height=height, width=width,
+        cap_factor=cf, dy_levels=dy, dx_levels=dx)
 
 
 @functools.partial(
@@ -368,6 +435,35 @@ def _binned_backend_or_dense(gaussians, pose, camera, scale_modifier,
     return "pallas" if key in _binned_demoted else backend
 
 
+def _tiled_backend_or_dense(gaussians, pose, camera, scale_modifier,
+                            active_sh_degree,
+                            backend="pallas-tiled") -> str:
+    """Rate-limited overflow check for the 2-D tiled backend — same
+    contract and demotion semantics as _binned_backend_or_dense."""
+    if isinstance(gaussians.xyz, jax.core.Tracer) or isinstance(
+            pose, jax.core.Tracer):
+        return backend
+    cf, dy, dx = _parse_tiled_caps(backend)
+    key = ("tiled", int(gaussians.xyz.shape[0]), camera.height,
+           camera.width, cf, dy, dx)
+    n = _binned_call_count.get(key, 0)
+    _binned_call_count[key] = n + 1
+    if key not in _binned_demoted and n % _BINNED_CHECK_EVERY == 0:
+        overflow = bool(_tiled_overflow_impl(
+            gaussians, pose, camera.fx, camera.fy, camera.cx, camera.cy,
+            jnp.float32(scale_modifier), active_sh_degree,
+            camera.height, camera.width, cf=cf, dy=dy, dx=dx))
+        if overflow:
+            _binned_demoted.add(key)
+            _log.warning(
+                "tiled rasterizer capacity exhausted for N=%d %dx%d "
+                "(pairs would be dropped); auto-switching this signature "
+                "to the dense pallas backend. To keep tiling, re-probe "
+                "tiled_view_requirements (current cf=%s dy=%s dx=%s).",
+                key[1], key[2], key[3], cf, dy, dx)
+    return "pallas" if key in _binned_demoted else backend
+
+
 def render(
     gaussians: GaussianModel,
     camera: Camera,
@@ -405,6 +501,10 @@ def render(
         backend = "pallas"
     if backend.startswith("pallas-binned"):
         backend = _binned_backend_or_dense(
+            gaussians, pose, camera, scale_modifier, active_sh_degree,
+            backend)
+    elif backend.startswith("pallas-tiled"):
+        backend = _tiled_backend_or_dense(
             gaussians, pose, camera, scale_modifier, active_sh_degree,
             backend)
     return _render_impl(

@@ -473,3 +473,26 @@ def test_sparse_depth_opt_recovers_noisy_depths():
     corr = np.corrcoef(got.ravel(), tgt.ravel())[0, 1]
     assert corr > 0.35, corr
     assert 0.5 < got.std() / tgt.std() < 2.0
+
+
+def test_mask_sky_zeroes_confidence():
+    """GlobalAligner.mask_sky (reference base_opt.py:288-295) returns a
+    copy with im_conf zeroed exactly where segment_sky fires; the source
+    aligner is untouched."""
+    from instantsplat_tpu.eval.viz import segment_sky
+
+    _, _, preds = _synthetic_scene(n_views=3)
+    al = GlobalAligner(preds)
+    h, w = al.H, al.W
+    rng = np.random.default_rng(1)
+    imgs = rng.random((al.n_imgs, h, w, 3)).astype(np.float32) * 0.3
+    imgs[:, : h // 3, :, :] = [0.2, 0.4, 0.9]  # blue sky band
+
+    before = al.im_conf.copy()
+    res = al.mask_sky(imgs)
+    assert np.array_equal(al.im_conf, before)  # deepcopy semantics
+    for i in range(al.n_imgs):
+        sky = segment_sky(imgs[i])
+        assert sky[: h // 3].all()
+        assert (res.im_conf[i][sky] == 0).all()
+        assert np.array_equal(res.im_conf[i][~sky], before[i][~sky])

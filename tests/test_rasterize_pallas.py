@@ -326,3 +326,123 @@ def test_packed_multi_strip_single_dispatch_fwd_bwd():
                                np.asarray(g_ref[2]), atol=2e-4)
     np.testing.assert_allclose(np.asarray(grad[:, 6:9]),
                                np.asarray(g_ref[3]), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# 2-D tiled (v3) rasterizer — same harness, same oracle
+# ---------------------------------------------------------------------------
+
+from instantsplat_tpu.ops import rasterize_pallas_tiled as rpt  # noqa: E402
+
+
+def _tiled_caps(splats, height, width):
+    m2, cn, lo, _, _, vd = splats
+    return rpt.tile_requirements(m2, cn, lo, vd, height, width)
+
+
+@pytest.mark.parametrize("n,height,width",
+                         [(300, 24, 40), (520, 36, 130), (150, 300, 260)])
+def test_tiled_forward_matches_oracle(n, height, width):
+    splats = _random_splats(jax.random.PRNGKey(0), n, height, width)
+    cf, dy, dx = _tiled_caps(splats, height, width)
+    bg = jnp.array([0.1, 0.5, 0.9])
+    ours = rpt.composite_tiles_2d(
+        *splats, height=height, width=width, bg=bg,
+        cap_factor=cf, dy_levels=dy, dx_levels=dx)
+    assert not bool(rpt.tile_overflow(
+        splats[0], splats[1], splats[2], splats[5], height, width,
+        cap_factor=cf, dy_levels=dy, dx_levels=dx))
+    ref = rasterize.composite(*splats, height=height, width=width, bg=bg)
+    np.testing.assert_allclose(ours.rgb, ref.rgb, atol=2e-5)
+    np.testing.assert_allclose(ours.alpha, ref.alpha, atol=2e-5)
+    np.testing.assert_allclose(ours.depth, ref.depth, atol=2e-4)
+
+
+def test_tiled_vjp_matches_oracle():
+    height, width = 20, 150  # two column buckets
+    splats = _random_splats(jax.random.PRNGKey(3), 260, height, width)
+    cf, dy, dx = _tiled_caps(splats, height, width)
+    bg = jnp.array([0.3, 0.2, 0.1])
+    kg = jax.random.split(jax.random.PRNGKey(7), 3)
+    g_rgb = jax.random.normal(kg[0], (height, width, 3))
+    g_alpha = jax.random.normal(kg[1], (height, width))
+    g_depth = jax.random.normal(kg[2], (height, width))
+
+    def loss(fn, m2, cn, lo, col, dep, b, **kw):
+        out = fn(m2, cn, lo, col, dep, splats[5], height=height,
+                 width=width, bg=b, **kw)
+        return (
+            jnp.sum(out.rgb * g_rgb)
+            + jnp.sum(out.alpha * g_alpha)
+            + jnp.sum(out.depth * g_depth)
+        )
+
+    args = (*splats[:5], bg)
+    ours = jax.grad(
+        lambda *a: loss(rpt.composite_tiles_2d, *a, cap_factor=cf,
+                        dy_levels=dy, dx_levels=dx),
+        argnums=tuple(range(6)),
+    )(*args)
+    ref = jax.grad(
+        lambda *a: loss(rasterize.composite, *a), argnums=tuple(range(6))
+    )(*args)
+    names = ["mean2d", "conic", "log_op", "colors", "depth", "bg"]
+    for name, o, r in zip(names, ours, ref):
+        scale = np.maximum(np.abs(np.asarray(r)).max(), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(o) / scale, np.asarray(r) / scale, atol=5e-5,
+            err_msg=f"tiled grad mismatch: {name}",
+        )
+
+
+def test_tiled_overflow_dump_slot():
+    """With a tiny capacity, overflow pairs drop without crashing, the
+    flag reports it, and the image stays finite (documented degradation
+    mode, same contract as the 1-D binned kernel)."""
+    height, width = 32, 24
+    splats = _random_splats(jax.random.PRNGKey(9), 200, height, width)
+    out = rpt.composite_tiles_2d(
+        *splats, height=height, width=width, cap_factor=1, dy_levels=1,
+        dx_levels=1)
+    assert np.isfinite(np.asarray(out.rgb)).all()
+    assert bool(rpt.tile_overflow(
+        splats[0], splats[1], splats[2], splats[5], height, width,
+        cap_factor=1, dy_levels=1, dx_levels=1))
+
+
+def test_tiled_empty_tiles_background():
+    """Tiles no splat touches must come out as pure background
+    (untouched kernel outputs are filled host-side from the construction
+    counts — uninitialized memory must never leak into the image)."""
+    height, width = 64, 300  # 3 column buckets, 8 row blocks
+    n = 40
+    k = jax.random.PRNGKey(11)
+    # all splats confined to the top-left tile
+    mean2d = jax.random.uniform(k, (n, 2), minval=5.0, maxval=20.0)
+    conic = jnp.tile(jnp.array([[0.5, 0.0, 0.5]]), (n, 1))
+    log_op = jnp.full((n,), jnp.log(0.9))
+    colors = jnp.ones((n, 3)) * 0.7
+    depth = jnp.linspace(1.0, 2.0, n)
+    valid = jnp.ones((n,), bool)
+    bg = jnp.array([0.25, 0.5, 0.75])
+    out = rpt.composite_tiles_2d(
+        mean2d, conic, log_op, colors, depth, valid,
+        height=height, width=width, bg=bg)
+    img = np.asarray(out.rgb)
+    assert np.allclose(img[40:, 200:], np.asarray(bg), atol=1e-6)
+    assert np.asarray(out.alpha)[40:, 200:].max() == 0.0
+    assert img[5:20, 5:20].mean() > 0.4  # splats actually rendered
+
+
+def test_tiled_key_space_guard():
+    """Shapes whose tile x splat key space exceeds int32 raise (callers
+    fall back to the 1-D binned or dense kernel)."""
+    n = 2_000_000
+    with pytest.raises(ValueError, match="key space"):
+        # fabricate tiny arrays but monkeypatch is overkill: n_tiles for
+        # 8k x 8k at 8x128 tiles = 64k; 64k * 40k splats overflows
+        m2 = jnp.zeros((40_000, 2))
+        rpt.composite_tiles_2d(
+            m2, jnp.zeros((40_000, 3)), jnp.zeros(40_000),
+            jnp.zeros((40_000, 3)), jnp.zeros(40_000),
+            jnp.ones(40_000, bool), height=8192, width=8192)

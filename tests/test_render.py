@@ -176,3 +176,36 @@ def test_sort_payload_duplicate_keys():
     # permutation of the weights
     g = np.asarray(jax.grad(f)(col))
     assert sorted(g.tolist()) == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_tiled_backend_matches_oracle_driver_level():
+    """The 2-D tiled driver path ("pallas-tiled[:CF:DY:DX]") == oracle,
+    forward and full parameter/pose gradients, including the auto-sized
+    capacity string from driver.tiled_view_requirements."""
+    from instantsplat_tpu.render.driver import tiled_view_requirements
+
+    g, cam = make_scene(n=80, seed=4)
+    g = g.replace(scaling=g.scaling + jnp.array([0.4, -0.3, 0.1]))
+    target = jax.random.uniform(jax.random.PRNGKey(21), (48, 48, 3))
+    cf, dy, dx = tiled_view_requirements(g, cam.pose, cam)
+    backend = f"pallas-tiled:{cf}:{dy}:{dx}"
+
+    def loss(pose, gauss, be):
+        out = render(gauss, cam, pose=pose, chunk=64, backend=be)
+        return jnp.mean(jnp.abs(out.render - target))
+
+    out_o = render(g, cam, chunk=64, backend="oracle")
+    out_t = render(g, cam, chunk=64, backend=backend)
+    np.testing.assert_allclose(out_t.render, out_o.render, atol=3e-5)
+    np.testing.assert_allclose(out_t.alpha, out_o.alpha, atol=3e-5)
+
+    gp_o, gg_o = jax.grad(loss, argnums=(0, 1))(cam.pose, g, "oracle")
+    gp_t, gg_t = jax.grad(loss, argnums=(0, 1))(cam.pose, g, backend)
+    np.testing.assert_allclose(np.asarray(gp_t), np.asarray(gp_o),
+                               rtol=2e-3, atol=1e-6)
+    for name in ("xyz", "scaling", "rotation", "opacity", "features_dc"):
+        o = np.asarray(getattr(gg_o, name))
+        p = np.asarray(getattr(gg_t, name))
+        scale = max(np.abs(o).max(), 1e-6)
+        np.testing.assert_allclose(p / scale, o / scale, atol=2e-4,
+                                   err_msg=f"tiled driver grad mismatch: {name}")

@@ -158,3 +158,42 @@ def test_demo_cli_exports(tmp_path):
     gltf, _ = _parse_glb(out / "scene.glb")
     # one pointcloud node + one frustum node per camera
     assert len(gltf["meshes"]) == 1 + n_views
+
+
+def test_segment_sky_heuristic():
+    """segment_sky reproduces the reference heuristic (dust3r/viz.py:
+    345-389): RGB blue and luminous gray are sky, saturated red/green and
+    dark pixels are not, small specks fall to the binary opening, and
+    only components > half the largest survive."""
+    from instantsplat_tpu.eval.viz import segment_sky
+
+    h, w = 64, 96
+    img = np.zeros((h, w, 3), np.float32)
+    img[..., 1] = 0.3  # dull green ground (dark + saturated -> not sky)
+    # big blue sky block (RGB blue; the reference's BGR quirk maps it to
+    # hue ~0, inside its [0, 30] "blue" band)
+    img[:24, :, :] = [0.2, 0.4, 0.9]
+    # bright near-white cloud strip connected to nothing: second CC,
+    # bigger than half the sky block? make it small so it's dropped
+    img[40:46, 10:16, :] = [0.95, 0.95, 0.97]
+    # 2x2 bright speck: must be erased by the 5x5 opening
+    img[50:52, 60:62, :] = [0.2, 0.4, 0.9]
+
+    mask = segment_sky(img)
+    assert mask[:24, :].all()  # sky block fully masked
+    assert not mask[30:, :].any()  # cloud strip + speck dropped, ground clear
+
+    # saturated red is NOT sky even when bright (quirked hue ~120)
+    img2 = np.zeros((h, w, 3), np.float32)
+    img2[:24, :, :] = [0.9, 0.1, 0.1]
+    assert not segment_sky(img2).any()
+
+    # two comparable components both survive the >max/2 rule
+    img3 = np.zeros((h, w, 3), np.float32)
+    img3[:20, :40] = [0.2, 0.4, 0.9]
+    img3[:20, 56:] = [0.2, 0.4, 0.9]
+    m3 = segment_sky(img3)
+    assert m3[:20, :40].all() and m3[:20, 56:].all()
+
+    # uint8 input path
+    assert segment_sky((img * 255).astype(np.uint8))[:24, :].all()
