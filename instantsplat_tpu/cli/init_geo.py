@@ -30,6 +30,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--conf_aware_ranking", action="store_true")
     parser.add_argument("--co_vis_dsp", action="store_true")
     parser.add_argument("--depth_thre", type=float, default=0.01)
+    parser.add_argument("--max_pts", type=int, default=int(150e10),
+                        help="confidence-weighted random downsample cap on "
+                             "the fused cloud (reference sfm_utils.py:250 "
+                             "max_pts_num)")
     parser.add_argument("--infer_video", action="store_true")
     # pair-decode batch: 24 measured near the per-chip MFU knee
     # (scripts/bench_mast3r.py); clamped to the scene's pair count
@@ -89,6 +93,7 @@ def main(argv=None):
         focal_avg=args.focal_avg,
         conf_aware_ranking=args.conf_aware_ranking,
         depth_thre=args.depth_thre, co_vis_dsp=args.co_vis_dsp,
+        max_pts=args.max_pts,
         infer_video=args.infer_video, save_all_pts=True,
         mesh=mesh,
     )

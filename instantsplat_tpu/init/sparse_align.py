@@ -308,6 +308,7 @@ def sparse_global_alignment(
     opt_depth=True,
     depth_reg_w=1.0,
     depth_lr_scale=0.3,
+    anchor3d_mode="pred",
     seed=0,
 ):
     """-> SparseGAResult(c2w [V,4,4], scales [V], focals [V], loss).
@@ -320,6 +321,33 @@ def sparse_global_alignment(
     (sparse_ga.py:254-260); False = free per-image poses. `opt_depth`
     optimizes per-anchor-cell depth scales in the fine phase
     (sparse_ga.py:453 opt_depth; see module docstring).
+
+    `anchor3d_mode` controls the fine phase's 3D-coincidence anchor — a
+    DOCUMENTED DEVIATION from the reference, whose fine loss is
+    reprojection-only (loss_2d, sparse_ga.py:377-392,453) with the metric
+    structure held by its kinematic-chain parameterization instead:
+      "pred"  (default) 3D term on PREDICTED depths — pins metric
+              structure under this module's free-pose parameterization;
+      "depth" 3D term on the OPTIMIZED per-anchor depths (what feeding
+              core_depth-derived pts3d into loss_3d would do);
+      "off"   no fine-phase 3D term (the literal reference fine loss).
+    Measured on the exact-pointmap synthetic scene
+    (scripts/measure_sparse_anchor.py, CPU, subsample=4, 300+300 iters;
+    relative rotation rad / normalized translation / focal error):
+      exact-focal init (the production path — aligner focal_avg /
+      Weiszfeld both recover it here):
+        pred  0.020 / 0.079 / 1.2%   <- best pose by 4x translation
+        depth 0.083 / 0.378 / 0.25%
+        off   0.067 / 0.325 / 1.2%
+      deliberately wrong 0.6x focal init:
+        pred  0.065 / 0.364 / 2.0%
+        depth 0.045 / 0.395 / 10.0%
+        off   0.015 / 0.251 / 1.6%   <- anchoring to predictions made
+                                        under a wrong focal hurts
+    "pred" stays the default: the production init path feeds good focals,
+    where the predicted-depth anchor is the only formulation that holds
+    the metric structure under free per-image poses; the deviation
+    stands, measured both ways.
     """
     import jax
     import jax.numpy as jnp
@@ -522,6 +550,8 @@ def sparse_global_alignment(
         # 0.35 when the anchor term sees optimized depths)
         w1d, w2d = world_points(R, t, s, p["log_dscale"], f=f)
         w1, w2 = world_points(R, t, s, jnp.zeros_like(p["log_dscale"]))
+        if anchor3d_mode == "depth":
+            w1, w2 = w1d, w2d
         # project the OTHER side's 3D point into this image vs the matched
         # pixel (sparse_ga.py:377-392), both directions
         u1 = reproj(R[ai], t[ai], s[ai], f[ai], pp[ai], w2d)
@@ -539,6 +569,8 @@ def sparse_global_alignment(
         # (sparse_ga.py:254-283)
         d3 = jnp.sqrt(jnp.sum((w1 - w2) ** 2, -1) + 1e-12) / scene_norm
         l3d = jnp.sum(g1(d3) * w_strong) / n_strong
+        if anchor3d_mode == "off":
+            l3d = 0.0
         # depth-scale prior toward the predictions: without it the
         # per-anchor freedom absorbs pose error (measured: translation
         # error 0.07 -> 0.35 on the exact-pointmap synthetic scene)

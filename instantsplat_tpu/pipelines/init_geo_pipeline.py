@@ -45,6 +45,7 @@ def run_init_geo(
     infer_video=False,
     save_all_pts=False,
     mesh=None,
+    max_pts=int(150e10),
 ):
     """Returns the GlobalAligner (with optimized scene) after writing all
     stage-1 artifacts under <source_path>/sparse_{n_views}/{0,1}.
@@ -150,7 +151,8 @@ def run_init_geo(
     scene_io.save_points3d(
         sparse_0, canvas_imgs, pts3d, confs, masks=keep_masks,
         use_masks=co_vis_dsp, save_all_pts=save_all_pts,
-        save_txt_path=model_path, depth_threshold=depth_thre)
+        save_txt_path=model_path, depth_threshold=depth_thre,
+        max_pts_num=max_pts)
     save_images_and_masks(sparse_0, n_views, imgs_list,
                           None if mixed else keep_masks,
                           train_files, image_suffix)

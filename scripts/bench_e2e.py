@@ -119,7 +119,8 @@ def make_scene(scene_dir: Path):
     colmap.write_images_text(ims, gt / "images.txt")
 
 
-def init_oracle(scene_dir: Path, model_dir: Path, n_views=3):
+def init_oracle(scene_dir: Path, model_dir: Path, n_views=3,
+                max_pts=0):
     """Stage 1 with EXACT pointmaps (the e2e tests' oracle backend at the
     production resolution): produces a realistic converged sparse_{n}
     scene so stages 2-5 measure the representative workload, with stage-1
@@ -153,21 +154,25 @@ def init_oracle(scene_dir: Path, model_dir: Path, n_views=3):
     t0 = _t.time()
     run_init_geo(scene_dir, model_dir, fn, n_views=n_views,
                  focal_avg=True, co_vis_dsp=True, conf_aware_ranking=True,
-                 save_all_pts=True)
+                 save_all_pts=True,
+                 max_pts=max_pts if max_pts else int(150e10))
     print(f"[oracle init_geo] {_t.time() - t0:.0f}s", flush=True)
 
 
 def run_once(root: Path, iterations: int, tag: str,
              oracle: bool = False, record: bool = True,
-             pose_iters: int = 500) -> bool:
+             pose_iters: int = 500, max_pts: int = 0) -> bool:
     out = root / f"out_{tag}"
     cmd = [sys.executable, str(Path(__file__).parent / "run_eval.py"),
            "--data", str(root / "data"), "--out", str(out),
            "--scenes", "plane", "--n_views", "3", "--ckpt_path", "random",
            "--iterations", str(iterations), "--stage_timeout", "3600",
            "--optim_test_pose_iter", str(pose_iters)]
+    if max_pts:
+        cmd += ["--max_pts", str(max_pts)]
     if oracle:
-        init_oracle(root / "data" / "plane", out / "plane" / "3_views")
+        init_oracle(root / "data" / "plane", out / "plane" / "3_views",
+                    max_pts=max_pts)
         cmd.append("--skip_init")
     t0 = time.time()
     repo_root = Path(__file__).resolve().parent.parent
@@ -221,6 +226,7 @@ def run_once(root: Path, iterations: int, tag: str,
             "mode": "oracle" if oracle else "random-weight",
             "iterations": iterations,
             "optim_test_pose_iter": pose_iters,
+            "max_pts": max_pts or None,
             "total_wall_s": round(total, 1),
             "stage_wall_s": stages,
             "time_to_psnr": t2p,
@@ -241,6 +247,10 @@ def main():
                          "(reference default 500; lower for harness runs "
                          "on congested dev backends — recorded in the "
                          "output)")
+    ap.add_argument("--max_pts", type=int, default=0,
+                    help="cap the fused cloud (confidence-weighted "
+                         "downsample) — the production point budget is "
+                         "100-150k for 3-view 512-res scenes")
     ap.add_argument("--oracle", action="store_true",
                     help="stage 1 with exact oracle pointmaps (realistic "
                     "converged scene for stages 2-5; random-weight MASt3R "
@@ -254,7 +264,7 @@ def main():
     for i in range(args.runs):
         tag = args.tag or f"run{int(time.time())}_{i}"
         if not run_once(root, args.iterations, tag, oracle=args.oracle,
-                        pose_iters=args.pose_iters):
+                        pose_iters=args.pose_iters, max_pts=args.max_pts):
             sys.exit(1)
 
 

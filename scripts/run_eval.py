@@ -116,6 +116,10 @@ def main():
     ap.add_argument("--n_views", type=int, default=3)
     ap.add_argument("--iterations", type=int, default=1000)
     ap.add_argument("--ckpt_path", default="")
+    ap.add_argument("--max_pts", type=int, default=0,
+                    help="cap the fused cloud at this many points "
+                         "(confidence-weighted downsample; 0 = no cap — "
+                         "reference sfm_utils.py:250 max_pts_num)")
     ap.add_argument("--skip_init", action="store_true",
                     help="scene dirs already contain sparse_{n}")
     ap.add_argument("--jobs", type=int, default=1,
@@ -158,7 +162,9 @@ def main():
                     py + ["instantsplat_tpu.cli.init_geo", "-s", str(src),
                           "-m", str(out), "--n_views", nv,
                           "--ckpt_path", args.ckpt_path, "--focal_avg",
-                          "--co_vis_dsp", "--conf_aware_ranking"] + shard,
+                          "--co_vis_dsp", "--conf_aware_ranking"]
+                    + (["--max_pts", str(args.max_pts)]
+                       if args.max_pts else []) + shard,
                     logs / "01_init_geo.log", env=env, **watchdog)
             ok = ok and run_stage(
                 py + ["instantsplat_tpu.cli.train", "-s", str(src),
