@@ -26,6 +26,8 @@ import argparse
 import json
 import sys
 import time
+
+import numpy as np
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -39,8 +41,16 @@ def _make_scene(kind, n, seed=0):
 
     ks = jax.random.split(jax.random.PRNGKey(seed), 3)
     if kind == "plane":
-        # dominant plane: tiny depth spread defeats depth-slicing/bitmaps
-        xy = jax.random.normal(ks[0], (n, 2)) * 1.8
+        # dominant plane: tiny depth spread defeats depth-slicing/bitmaps.
+        # Points on a JITTERED GRID, like a fused backprojected cloud —
+        # a gaussian xy scatter gives KNN-scale splats a heavy tail at
+        # the sparse edges (measured: auto-sized dy_levels 25 vs the e2e
+        # scene's 4-7), which is unrepresentative of co-vis-masked
+        # production clouds.
+        side = int(np.ceil(np.sqrt(n)))
+        g = (jnp.stack(jnp.meshgrid(jnp.arange(side), jnp.arange(side)),
+                       -1).reshape(-1, 2)[:n] / side - 0.5) * 3.6
+        xy = g + jax.random.normal(ks[0], (n, 2)) * (0.2 * 3.6 / side)
         z = 6.0 + jax.random.normal(ks[1], (n, 1)) * 0.05
         pts = jnp.concatenate([xy, z], axis=1)
     else:
@@ -91,9 +101,13 @@ def bench_forward(params, cam, backend, iters):
     p = params
     t0 = time.perf_counter()
     for _ in range(iters):
-        p = p.replace(xyz=p.xyz + 1e-12 * jnp.mean(img))
+        # relative nudge: an additive 1e-12 rounds away in f32 at |xyz|~2,
+        # making every dispatch bit-identical -> worker value-dedup
+        # returns without executing (measured an impossible 0.2 ms)
+        p = p.replace(xyz=p.xyz * (1.0 + 1e-7) + 1e-9 * jnp.mean(img))
         img = f(p)
-    jax.block_until_ready(img)
+    float(jnp.sum(img[::64, ::64]))  # host read: block_until_ready can
+    # return pre-execution on axon
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -122,11 +136,11 @@ def bench_train_iter(params, cam, backend, iters):
     vids = jnp.asarray(np.arange(k) % 2, jnp.int32)
     its = jnp.arange(1, k + 1, dtype=jnp.int32)
     p, s, m = block(params, state, vids, its, 3)
-    jax.block_until_ready(m["loss"])
+    float(jnp.sum(m["loss"]))
     # warm timed block chained through the updated params
     t0 = time.perf_counter()
     p, s, m = block(p, s, vids, its, 3)
-    jax.block_until_ready(m["loss"])
+    float(jnp.sum(m["loss"]))  # host read, not block_until_ready (axon)
     return (time.perf_counter() - t0) / k * 1e3
 
 
