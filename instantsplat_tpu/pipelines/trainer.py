@@ -507,6 +507,19 @@ def train_joint(
                           f"other backend {per_other * 1e3:.0f} ms/iter "
                           f"beats current {per_cur_probe * 1e3:.0f}",
                           flush=True)
+                    winner_per_iter = per_other
+                else:
+                    winner_per_iter = per_cur_probe
+                # re-fit the dispatch governor to the (possibly new)
+                # backend's measured rate: a stale cap calibrated on a
+                # faster program can push one scan block past the
+                # runtime's ~60 s execution deadline
+                if budget > 0:
+                    fitting = [
+                        d for d in range(1, trainer_cfg.log_every + 1)
+                        if trainer_cfg.log_every % d == 0
+                        and d * winner_per_iter <= budget]
+                    block_cap = max(fitting) if fitting else 1
                 reprobe_state = 0
                 next_reprobe = it + reprobe_every
             if block_cap is None and block_idx == 1:
