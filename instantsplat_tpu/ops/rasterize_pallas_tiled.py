@@ -57,6 +57,7 @@ from instantsplat_tpu.ops.rasterize_pallas import (
     _pack_gaussians,
     _round_up,
 )
+from instantsplat_tpu.ops.rasterize_pallas import _cumsum_g, _tri
 from instantsplat_tpu.ops.rasterize_pallas_binned import (
     _gather_binned,
     _scan_sub,
@@ -72,6 +73,18 @@ G_CHUNK = 256
 CAP_FACTOR = 4  # slot capacity = CAP_FACTOR * N + per-tile alignment slack
 DY_LEVELS = 4  # max row-blocks a Gaussian may span (extent clamp, flagged)
 DX_LEVELS = 2  # max column-buckets a Gaussian may span
+# Per-chunk prefix-sum implementation over the Gaussian (sublane) axis:
+# "roll" = Hillis-Steele ladder of sublane rolls (O(log G) passes; Mosaic
+# sublane rolls are slow), "mxu" = split-bf16x2 tri-matmul
+# (rasterize_pallas._cumsum_g — 2 MXU passes, exact to f32 noise). A/B on
+# device via scripts/bench_tiled.py.
+SCAN_IMPL = "roll"
+
+
+def _scan_g(x):
+    if SCAN_IMPL == "mxu":
+        return _cumsum_g(_tri(x.shape[0]), x)
+    return _scan_sub(x)
 
 
 def _cutoff_radius(conic, log_opacity, valid):
@@ -243,7 +256,7 @@ def _fwd_kernel(
         _, _, _, alpha = _falloff(blk, px, py)
         hit = alpha > 0.0
         l = jnp.where(hit, jnp.log1p(-alpha), 0.0)
-        cum = _scan_sub(l)
+        cum = _scan_g(l)
         logt_row = logt_ref[:]
         logt_post = logt_row + cum
         done_row = done_ref[:]
@@ -317,7 +330,7 @@ def _bwd_kernel(
         contribute = (alpha > 0.0) & (gidx <= lc_row)
         om = jnp.where(contribute, 1.0 - alpha, 1.0)
         l = jnp.where(contribute, jnp.log1p(-alpha), 0.0)
-        cum = _scan_sub(l)
+        cum = _scan_g(l)
         total_l = cum[g - 1 : g, :]
         csuf = total_l - cum + l
         logt_end = logtr_ref[:]
@@ -328,7 +341,7 @@ def _bwd_kernel(
         for ch in range(4):
             b1 = b1 + blk[:, 6 + ch : 7 + ch] * g4_ref[0, ch : ch + 1, :]
         e = w * b1
-        ecum = _scan_sub(e)
+        ecum = _scan_g(e)
         etot = ecum[g - 1 : g, :]
         esuf = etot - ecum
 

@@ -61,8 +61,6 @@ def _make_scene(kind, n, seed=0):
     base = GaussianModel.create_from_pcd(pts, cols, cam_poses=poses,
                                          max_sh_degree=3)
     if kind in ("small", "plane"):
-        import numpy as np
-
         base = base.replace(scaling=base.scaling + float(np.log(0.25)))
     return base
 
