@@ -206,6 +206,10 @@ _MAX_BINNED_CAP_FACTOR = 16
 _MAX_BINNED_D_LEVELS = 64
 _MAX_TILED_LEVEL_PRODUCT = 64  # dy * dx (the candidate sort is O(N*dy*dx))
 
+# Periodic backend re-probe cadence (iterations); module-level so tests can
+# shrink it to exercise the re-probe path
+_REPROBE_EVERY = 250
+
 
 def _tiled_candidate(params, camera) -> Optional[str]:
     """'pallas-tiled:CF:DY:DX' sized for the CURRENT scene, or None when
@@ -409,7 +413,7 @@ def train_joint(
         # PERF_NOTES crossover table), so every `reprobe_every` iterations
         # one timed block runs on each backend and the faster keeps the
         # loop. Costs two syncs per window; a 4x regime flip dwarfs that.
-        reprobe_every = 250
+        reprobe_every = _REPROBE_EVERY
         next_reprobe = first_iter + 1 + reprobe_every
         reprobe_state = 0  # 0 idle, 1 timing current, 2 timing other
         per_cur_probe: Optional[float] = None

@@ -39,7 +39,10 @@ def _make_scene(kind, n, seed=0):
 
     from instantsplat_tpu.models.gaussians import GaussianModel
 
-    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    # scene construction in NUMPY: eager jnp ops with fresh shapes each
+    # compile separately over the axon tunnel (measured: a 6-op grid
+    # build stalled a bench run for 40 minutes — CLAUDE.md)
+    rng = np.random.default_rng(seed)
     if kind == "plane":
         # dominant plane: tiny depth spread defeats depth-slicing/bitmaps.
         # Points on a JITTERED GRID, like a fused backprojected cloud —
@@ -48,15 +51,17 @@ def _make_scene(kind, n, seed=0):
         # scene's 4-7), which is unrepresentative of co-vis-masked
         # production clouds.
         side = int(np.ceil(np.sqrt(n)))
-        g = (jnp.stack(jnp.meshgrid(jnp.arange(side), jnp.arange(side)),
-                       -1).reshape(-1, 2)[:n] / side - 0.5) * 3.6
-        xy = g + jax.random.normal(ks[0], (n, 2)) * (0.2 * 3.6 / side)
-        z = 6.0 + jax.random.normal(ks[1], (n, 1)) * 0.05
-        pts = jnp.concatenate([xy, z], axis=1)
+        gy, gx = np.meshgrid(np.arange(side), np.arange(side))
+        g = (np.stack([gx, gy], -1).reshape(-1, 2)[:n]
+             / side - 0.5) * 3.6
+        xy = g + rng.standard_normal((n, 2)) * (0.2 * 3.6 / side)
+        z = 6.0 + rng.standard_normal((n, 1)) * 0.05
+        pts = jnp.asarray(np.concatenate([xy, z], 1), jnp.float32)
     else:
-        pts = jax.random.normal(ks[0], (n, 3)) * 1.5 + jnp.array(
-            [0.0, 0.0, 6.0])
-    cols = jax.random.uniform(ks[1], (n, 3))
+        pts = jnp.asarray(
+            rng.standard_normal((n, 3)) * 1.5 + [0.0, 0.0, 6.0],
+            jnp.float32)
+    cols = jnp.asarray(rng.random((n, 3)), jnp.float32)
     poses = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0]), (2, 1))
     base = GaussianModel.create_from_pcd(pts, cols, cam_poses=poses,
                                          max_sh_degree=3)
@@ -184,8 +189,14 @@ def main():
                 try:
                     row[f"fwd_ms_{name}"] = round(
                         bench_forward(params, cam, be, args.iters), 2)
+                    print(json.dumps({"progress": f"fwd_{name}",
+                                      "ms": row[f"fwd_ms_{name}"]}),
+                          flush=True)
                 except Exception as e:  # noqa: BLE001
                     row[f"fwd_err_{name}"] = f"{type(e).__name__}: {e}"[:200]
+                    print(json.dumps({"progress": f"fwd_{name}",
+                                      "err": row[f"fwd_err_{name}"]}),
+                          flush=True)
             if args.train:
                 for name in args.backends:
                     be = strings.get(name)
@@ -195,9 +206,15 @@ def main():
                         row[f"train_ms_{name}"] = round(
                             bench_train_iter(params, cam, be, args.iters),
                             2)
+                        print(json.dumps({"progress": f"train_{name}",
+                                          "ms": row[f"train_ms_{name}"]}),
+                              flush=True)
                     except Exception as e:  # noqa: BLE001
                         row[f"train_err_{name}"] = (
                             f"{type(e).__name__}: {e}"[:200])
+                        print(json.dumps({"progress": f"train_{name}",
+                                          "err": row[f"train_err_{name}"]}),
+                              flush=True)
             print(json.dumps(row), flush=True)
 
 

@@ -310,3 +310,27 @@ def test_backend_auto_probes_and_trains():
     )
     assert history[-1][1]["loss"] < history[0][1]["loss"] * 1.5
     assert np.isfinite(history[-1][1]["psnr"])
+
+
+def test_backend_reprobe_resizes_and_switches(monkeypatch):
+    """The periodic re-probe path (capacity re-sizing + timed swap +
+    governor re-fit) runs end-to-end: with the cadence shrunk, training
+    passes through reprobe states 1/2 several times, re-sizes the
+    capacity backend against the live scene, and finishes with finite
+    metrics regardless of which backend wins the timings."""
+    import instantsplat_tpu.pipelines.trainer as tr
+
+    monkeypatch.setattr(tr, "_REPROBE_EVERY", 8)
+    gt_model, cams, true_poses = build_synthetic(n_gauss=100, size=24,
+                                                 seed=7)
+    init = GaussianModel.create_from_pcd(
+        gt_model.xyz, jnp.clip(gt_model.features_dc[:, 0] * 0.28 + 0.5,
+                               0, 1),
+        cam_poses=true_poses, max_sh_degree=0,
+    )
+    cfg = tr.TrainerConfig(iterations=48, chunk=64, log_every=8,
+                           backend="auto")
+    params, _, history = tr.train_joint(
+        init, cams, opt_cfg=OptimizationConfig(optim_pose=True),
+        trainer_cfg=cfg)
+    assert history and np.isfinite(history[-1][1]["loss"])
