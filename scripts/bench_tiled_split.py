@@ -46,15 +46,16 @@ def main():
 
     h, w = args.hw
     n = args.n
-    # jittered-grid plane cloud (see bench_tiled._make_scene rationale)
-    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    # jittered-grid plane cloud (see bench_tiled._make_scene rationale);
+    # numpy construction — eager jnp ops compile per-op over the tunnel
+    rng = np.random.default_rng(0)
     side = int(np.ceil(np.sqrt(n)))
-    g = (jnp.stack(jnp.meshgrid(jnp.arange(side), jnp.arange(side)),
-                   -1).reshape(-1, 2)[:n] / side - 0.5) * 3.6
-    xy = g + jax.random.normal(ks[0], (n, 2)) * (0.2 * 3.6 / side)
-    z = 6.0 + jax.random.normal(ks[1], (n, 1)) * 0.05
-    pts = jnp.concatenate([xy, z], axis=1)
-    cols = jax.random.uniform(ks[1], (n, 3))
+    gy, gx = np.meshgrid(np.arange(side), np.arange(side))
+    g = (np.stack([gx, gy], -1).reshape(-1, 2)[:n] / side - 0.5) * 3.6
+    xy = g + rng.standard_normal((n, 2)) * (0.2 * 3.6 / side)
+    z = 6.0 + rng.standard_normal((n, 1)) * 0.05
+    pts = jnp.asarray(np.concatenate([xy, z], 1), jnp.float32)
+    cols = jnp.asarray(rng.random((n, 3)), jnp.float32)
     poses = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0]), (2, 1))
     params = GaussianModel.create_from_pcd(pts, cols, cam_poses=poses,
                                            max_sh_degree=3)
