@@ -176,3 +176,25 @@ def test_covis_masks_basic():
     )
     assert not masks[0].any()  # first (most confident) view keeps all
     assert masks[1].mean() > 0.9  # second view nearly fully redundant
+
+
+def test_save_points3d_max_pts_downsample(tmp_path):
+    """max_pts_num caps the fused cloud by confidence-weighted sampling
+    (reference sfm_utils.py:279-296); the confidence sidecar follows the
+    downsampled set and the ply holds exactly the cap."""
+    from instantsplat_tpu.data import ply
+    from instantsplat_tpu.data.scene import save_points3d
+
+    rng = np.random.default_rng(0)
+    v, h, w = 2, 8, 10
+    imgs = rng.random((v, h, w, 3)).astype(np.float32)
+    pts3d = rng.random((v, h, w, 3)).astype(np.float32)
+    confs = rng.random((v, h, w)).astype(np.float32) + 1.0
+    n = save_points3d(tmp_path, imgs, pts3d, confs, use_masks=False,
+                      save_txt_path=tmp_path, max_pts_num=37)
+    assert n == 37
+    saved_pts, _ = ply.fetch_point_cloud(tmp_path / "points3D.ply")
+    assert saved_pts.shape[0] == 37
+    assert np.load(tmp_path / "confidence_dsp.npy").shape[0] == 37
+    txt = (tmp_path / "pts_num.txt").read_text()
+    assert f"Vanilla points num: {v * h * w}" in txt
