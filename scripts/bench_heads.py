@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=[384, 512])
     ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     ap.add_argument("--peak-tflops", type=float, default=197.0)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny architecture (CPU smoke of the harness)")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +48,13 @@ def main():
 
     cfg = mast3r.MASt3RConfig()
     h, w = args.hw
+    if args.tiny:
+        cfg = mast3r.MASt3RConfig(
+            enc_embed_dim=64, enc_depth=2, enc_num_heads=2,
+            dec_embed_dim=48, dec_depth=12, dec_num_heads=2,
+            dpt_layer_dims=(8, 16, 24, 32), dpt_feature_dim=16,
+            dpt_last_dim=8)
+        h, w = 32, 32
     hp, wp = h // cfg.patch_size, w // cfg.patch_size
     s = hp * wp
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
