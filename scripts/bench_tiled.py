@@ -161,6 +161,10 @@ def main():
                     help="also time full train iterations (slower)")
     ap.add_argument("--backends", nargs="+",
                     default=["dense", "binned", "tiled"])
+    ap.add_argument("--sweep", action="store_true",
+                    help="sweep tiled tile geometry (BLOCK_ROWS x COL_W "
+                         "x G_CHUNK x SCAN_IMPL) on the plane scene, "
+                         "forward only")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -172,6 +176,32 @@ def main():
     cam = Camera.create(np.eye(3), np.zeros(3), fx=400.0, fy=400.0,
                         height=h, width=w, uid=0)
     cam1 = cam.replace(uid=1)  # noqa: F841
+
+    if args.sweep:
+        from instantsplat_tpu.ops import rasterize_pallas_tiled as rpt
+
+        base = _make_scene("plane", args.plane_n)
+        params = base.replace(
+            opacity=jnp.full_like(base.opacity, args.opacities[0]))
+        for br, cw, gch, scan in [
+            (8, 128, 256, "roll"), (8, 128, 256, "mxu"),
+            (8, 128, 512, "roll"), (4, 128, 256, "roll"),
+            (16, 128, 256, "roll"), (8, 256, 256, "roll"),
+        ]:
+            rpt.BLOCK_ROWS, rpt.COL_W, rpt.G_CHUNK = br, cw, gch
+            rpt.SCAN_IMPL = scan
+            try:
+                strings = _backends_for(params, cam)
+                be = strings["tiled"]
+                ms = bench_forward(params, cam, be, args.iters)
+                print(json.dumps({"sweep": [br, cw, gch, scan],
+                                  "backend": be,
+                                  "fwd_ms": round(ms, 2)}), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"sweep": [br, cw, gch, scan],
+                                  "err": f"{type(e).__name__}: {e}"[:150]}),
+                      flush=True)
+        return
 
     for kind in args.scenes:
         n = args.plane_n if kind == "plane" else args.n
