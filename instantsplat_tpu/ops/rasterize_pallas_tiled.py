@@ -296,7 +296,7 @@ def _bwd_kernel(
     gtu_ref,  # VMEM block [1, 1, T]
     tfin_ref,  # VMEM block [1, 1, T]
     lc_ref,  # VMEM block [1, 1, T] int32
-    dgauss_ref,  # out [G, 16] — per-slot grads, chunk n_chunks-1-c
+    dgauss_ref,  # out [G, 10] — per-slot grads, chunk n_chunks-1-c
     ss_ref,  # scratch [1, T]
     logtr_ref,  # scratch [1, T]
 ):
@@ -364,11 +364,11 @@ def _bwd_kernel(
             jnp.sum(w * g4_ref[0, ch : ch + 1, :], 1, keepdims=True)
             for ch in range(4)
         ]
+        # 10 real gradient columns only — the padding columns of the
+        # packed layout would be dead weight in the bwd output + the
+        # fold's row gather (row bytes are the gather's cost driver)
         delta = jnp.concatenate(
-            [dmx, dmy, dca, dcb, dcc, dlo, *dc4,
-             jnp.zeros((g, 6), jnp.float32)],
-            axis=1,
-        )
+            [dmx, dmy, dca, dcb, dcc, dlo, *dc4], axis=1)
         dgauss_ref[:] = delta
         ss_ref[:] = ss_row + etot
         logtr_ref[:] = logt_end - total_l
@@ -443,7 +443,7 @@ def _run_bwd(binned, tmap, g4, gtu, tfin, lc, n_tiles, tile_px, br, cw,
             pl.BlockSpec((1, 1, tile_px), revt3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_px), revt3, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((G_CHUNK, 16), rev,
+        out_specs=pl.BlockSpec((G_CHUNK, 10), rev,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((1, tile_px), jnp.float32),
@@ -453,7 +453,7 @@ def _run_bwd(binned, tmap, g4, gtu, tfin, lc, n_tiles, tile_px, br, cw,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cap, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cap, 10), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
@@ -523,9 +523,9 @@ def _composite_tiled_bwd(h_pad, w_pad, cap, dy_levels, dx_levels,
                       tile_px, br, cw, n_cb, interpret)
     d = dy_levels * dx_levels
     inv = inv_slot.reshape(n, d)
-    rows16 = dslots[jnp.maximum(inv, 0)]  # [n, d, 16]
+    rows10 = dslots[jnp.maximum(inv, 0)]  # [n, d, 10]
     dgauss = jnp.sum(
-        jnp.where((inv >= 0)[..., None], rows16, 0.0), axis=1)
+        jnp.where((inv >= 0)[..., None], rows10, 0.0), axis=1)
     return (
         dgauss[:, 0:2],
         dgauss[:, 2:5],
