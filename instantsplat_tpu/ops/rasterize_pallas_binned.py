@@ -274,7 +274,7 @@ def _bwd_kernel(
     gtu_ref,  # VMEM [n_rb, P]
     tfin_ref,  # VMEM [n_rb, P]
     lc_ref,  # VMEM [n_rb, P] int32
-    dgauss_ref,  # out [G, 16] — per-slot grads, chunk n_chunks-1-c
+    dgauss_ref,  # out [G, 10] — per-slot grads, chunk n_chunks-1-c
     ss_ref,  # scratch [n_rb, P]
     logtr_ref,  # scratch [n_rb, P]
 ):
@@ -337,11 +337,10 @@ def _bwd_kernel(
             jnp.sum(w * g4_ref[ch, pl.ds(rb, 1), :], 1, keepdims=True)
             for ch in range(4)
         ]
+        # 10 real gradient columns only (row bytes drive both the bwd
+        # output traffic and the fold's row-gather cost)
         delta = jnp.concatenate(
-            [dmx, dmy, dca, dcb, dcc, dlo, *dc4,
-             jnp.zeros((g, 6), jnp.float32)],
-            axis=1,
-        )
+            [dmx, dmy, dca, dcb, dcc, dlo, *dc4], axis=1)
         dgauss_ref[:] = delta
         ss_ref[pl.ds(rb, 1), :] = ss_row + etot
         logtr_ref[pl.ds(rb, 1), :] = logt_end - total_l
@@ -436,7 +435,7 @@ def _run_bwd_strip(binned, rb_local, g_acc, gtu, tfin, lc, n_rb, n_pix,
             pl.BlockSpec((n_rb, n_pix), lambda c, m: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((G_CHUNK, 16), rev,
+        out_specs=pl.BlockSpec((G_CHUNK, 10), rev,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((n_rb, n_pix), jnp.float32),
@@ -446,7 +445,7 @@ def _run_bwd_strip(binned, rb_local, g_acc, gtu, tfin, lc, n_rb, n_pix,
     return pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cap, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cap, 10), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
@@ -506,7 +505,7 @@ def _composite_binned_bwd(h_pad, width, cap, d_levels, interpret,
     g_accs, g_tfins, _ = cots
     n_pix = BLOCK_ROWS * width
 
-    dslots_sum = jnp.zeros((cap, 16), jnp.float32)
+    dslots_sum = jnp.zeros((cap, 10), jnp.float32)
     for i, (rb_off, rows) in enumerate(_strip_plan(h_pad)):
         n_rb = rows // BLOCK_ROWS
         tfin, lc = tfins[i], lcs[i]
@@ -523,9 +522,9 @@ def _composite_binned_bwd(h_pad, width, cap, d_levels, interpret,
     # gathers; the former [cap, 16] scatter-add is effectively serialized
     # on TPU — measured ~93 ms at cap=300k)
     inv = inv_slot.reshape(n, d_levels)
-    rows16 = dslots_sum[jnp.maximum(inv, 0)]  # [n, d_levels, 16]
+    rows10 = dslots_sum[jnp.maximum(inv, 0)]  # [n, d_levels, 10]
     dgauss = jnp.sum(
-        jnp.where((inv >= 0)[..., None], rows16, 0.0), axis=1)
+        jnp.where((inv >= 0)[..., None], rows10, 0.0), axis=1)
     return (
         dgauss[:, 0:2],
         dgauss[:, 2:5],
