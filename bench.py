@@ -125,8 +125,35 @@ def main():
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
     }
-    result["extra"] = _extra_metrics()
+    result["extra"] = _extra_metrics_guarded()
     print(json.dumps(result))
+
+
+def _extra_metrics_guarded():
+    """_extra_metrics under a SIGALRM hard cap: its per-section budget
+    checks run BEFORE each section, so one slow remote compile inside a
+    section could otherwise hold the JSON line past the driver's bench
+    timeout. The alarm interrupts whatever is in flight; the section's
+    try/except records it and the primary metric still prints."""
+    import os
+    import signal
+
+    budget = float(os.environ.get("INSTANTSPLAT_BENCH_BUDGET_S", 480))
+    if os.name != "posix" or budget <= 0:
+        return _extra_metrics()
+
+    def _raise(signum, frame):
+        raise TimeoutError("bench extras budget exhausted")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(int(budget))
+    try:
+        return _extra_metrics()
+    except TimeoutError:
+        return {"extras_error": "budget_exhausted"}
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def _extra_metrics():
