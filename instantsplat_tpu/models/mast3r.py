@@ -338,9 +338,16 @@ def dpt_head(params, cfg: MASt3RConfig, hook_tokens, h, w):
     path = _fusion_block(params["refine"][0], path, feats[0])
 
     out = _conv(params["head"]["conv1"], path)
+    # 1x1 output conv BEFORE the x2 upsample: the reference head is
+    # conv3x3 -> Interpolate -> conv1x1 with no nonlinearity between
+    # (checkpoint keys head.0 / head.2), and both the 1x1 conv and the
+    # bilinear resize are linear, so they commute exactly — running the
+    # conv at quarter resolution and resizing 4 channels instead of 128
+    # removes most of the head's full-res work (the 4-wide conv output
+    # also underfills MXU lanes; a quarter as many pixels pay it)
+    out = _conv(params["head"]["conv2"], out)
     b, hh, ww, c = out.shape
-    out = _resize_bilinear_ac(out, hh * 2, ww * 2)
-    return _conv(params["head"]["conv2"], out)  # [B, H, W, 3+1]
+    return _resize_bilinear_ac(out, hh * 2, ww * 2)  # [B, H, W, 3+1]
 
 
 def _pixel_shuffle_tokens(tokens, hp, wp, channels, r):

@@ -99,12 +99,13 @@ def main():
     def conv1_stage(path):
         return _conv(hd["dpt"]["head"]["conv1"], path)
 
+    def conv2_stage(out):
+        # quarter-res 1x1 (runs BEFORE the upsample in the model)
+        return _conv(hd["dpt"]["head"]["conv2"], out)
+
     def resize_stage(out):
         bb, hh, ww, c = out.shape
         return _resize_bilinear_ac(out, hh * 2, ww * 2)
-
-    def conv2_stage(out):
-        return _conv(hd["dpt"]["head"]["conv2"], out)
 
     def local_stage(d0, dl):
         cat = jnp.concatenate([d0, dl], -1)
@@ -142,41 +143,39 @@ def main():
         path = refine_stage(feats)
         return reduce_all(conv1_stage(path), path, *feats)
 
-    def p_resize(hooks, d0, dl):
-        feats = feats_stage(hooks)
-        path = refine_stage(feats)
-        o1 = conv1_stage(path)
-        return reduce_all(resize_stage(o1), o1, path, *feats)
-
     def p_conv2(hooks, d0, dl):
         feats = feats_stage(hooks)
         path = refine_stage(feats)
         o1 = conv1_stage(path)
-        o2 = resize_stage(o1)
-        return reduce_all(conv2_stage(o2), o2, o1, path, *feats)
+        return reduce_all(conv2_stage(o1), o1, path, *feats)
+
+    def p_resize(hooks, d0, dl):
+        feats = feats_stage(hooks)
+        path = refine_stage(feats)
+        o1 = conv1_stage(path)
+        o2 = conv2_stage(o1)
+        return reduce_all(resize_stage(o2), o2, o1, path, *feats)
 
     def p_local(hooks, d0, dl):
         feats = feats_stage(hooks)
         path = refine_stage(feats)
         o1 = conv1_stage(path)
-        o2 = resize_stage(o1)
-        raw = conv2_stage(o2)
+        raw = resize_stage(conv2_stage(o1))
         lf = local_stage(d0, dl)
-        return reduce_all(raw, lf, o2, o1, path, *feats)
+        return reduce_all(raw, lf, o1, path, *feats)
 
     def p_post(hooks, d0, dl):
         feats = feats_stage(hooks)
         path = refine_stage(feats)
         o1 = conv1_stage(path)
-        o2 = resize_stage(o1)
-        raw = conv2_stage(o2)
+        raw = resize_stage(conv2_stage(o1))
         lf = local_stage(d0, dl)
-        return reduce_all(*post_stage(raw, lf), raw, lf, o2, o1, path,
+        return reduce_all(*post_stage(raw, lf), raw, lf, o1, path,
                           *feats)
 
     probes = [("feats", p_feats), ("refine", p_refine),
-              ("conv1", p_conv1), ("resize", p_resize),
-              ("conv2", p_conv2), ("local_mlp", p_local),
+              ("conv1", p_conv1), ("conv2", p_conv2),
+              ("resize", p_resize), ("local_mlp", p_local),
               ("postprocess", p_post)]
 
     def timed(fn):
