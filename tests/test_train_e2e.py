@@ -334,3 +334,37 @@ def test_backend_reprobe_resizes_and_switches(monkeypatch):
         init, cams, opt_cfg=OptimizationConfig(optim_pose=True),
         trainer_cfg=cfg)
     assert history and np.isfinite(history[-1][1]["loss"])
+
+
+def test_auto_candidate_prefers_tiled_falls_back_binned():
+    """_binned_candidate returns a tiled string when the scene's tile
+    levels are in range and falls back to the 1-D binned kernel when
+    giant splats blow the level product (VERDICT r5: tiled targets the
+    small-splat fused-cloud regime)."""
+    import instantsplat_tpu.pipelines.trainer as tr
+    from instantsplat_tpu.models.camera import Camera
+
+    rng = np.random.default_rng(0)
+    n = 3000
+    side = int(np.ceil(np.sqrt(n)))
+    gy, gx = np.meshgrid(np.arange(side), np.arange(side))
+    g = (np.stack([gx, gy], -1).reshape(-1, 2)[:n] / side - 0.5) * 3.0
+    pts = np.concatenate(
+        [g, 6.0 + 0.05 * rng.standard_normal((n, 1))], 1).astype(np.float32)
+    cols = rng.random((n, 3)).astype(np.float32)
+    poses = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0]), (1, 1))
+    params = GaussianModel.create_from_pcd(
+        jnp.asarray(pts), jnp.asarray(cols), cam_poses=poses,
+        max_sh_degree=0)
+    params = params.replace(opacity=jnp.full_like(params.opacity, 2.0))
+    cam = Camera.create(np.eye(3), np.zeros(3), fx=300.0, fy=300.0,
+                        height=384, width=512, uid=0)
+
+    cand = tr._binned_candidate(params, cam)
+    assert cand is not None and cand.startswith("pallas-tiled:"), cand
+
+    # giant splats: tile levels blow past the product cap -> not tiled
+    big = params.replace(scaling=params.scaling + float(np.log(256.0)))
+    cand_big = tr._binned_candidate(big, cam)
+    assert cand_big is None or not cand_big.startswith("pallas-tiled:"), \
+        cand_big
