@@ -188,11 +188,18 @@ def main():
             fl = float(ca["flops"])
         except Exception:  # noqa: BLE001
             pass
-        float(j(hooks0, dec0, dec_last))
+        float(j(hooks0, dec0, dec_last))  # warm + sync
+        # per-rep INPUT perturbation (distinct programs defeat the
+        # worker's value-dedup) but only ONE host read after the loop: a
+        # float() inside the loop serializes a full tunnel round-trip
+        # per rep (measured a 392 ms "feats" stage whose true cumulative
+        # cost is ~40 ms, making the next stage's delta negative)
         t0 = time.perf_counter()
+        out = None
         for r in range(args.reps):
             eps = jnp.asarray(1e-6 * (r + 1), dtype)
-            float(j([x + eps for x in hooks0], dec0 + eps, dec_last))
+            out = j([x + eps for x in hooks0], dec0 + eps, dec_last)
+        float(out)
         return (time.perf_counter() - t0) / args.reps, fl
 
     peak = args.peak_tflops * 1e12
