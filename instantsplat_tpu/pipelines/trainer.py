@@ -266,6 +266,19 @@ def _is_capacity_backend(name: Optional[str]) -> bool:
     return bool(name) and name.startswith(("pallas-binned", "pallas-tiled"))
 
 
+def _fit_block(rate: Optional[float], budget: float, log_every: int,
+               fallback: int) -> int:
+    """Largest divisor of log_every whose block duration at `rate`
+    (seconds/iter) fits the dispatch budget — divisors keep block
+    boundaries aligned with log boundaries so only one extra scan length
+    ever compiles. Falls back to `fallback` when no rate is known."""
+    if rate is None or budget <= 0:
+        return fallback
+    fitting = [d for d in range(1, log_every + 1)
+               if log_every % d == 0 and d * rate <= budget]
+    return max(fitting) if fitting else 1
+
+
 def _binned_caps_grew(old: str, new: str) -> bool:
     """True when `new`'s capacities exceed `old`'s in any dimension — the
     only case a rebuilt (recompiled) scan program is required for
@@ -417,6 +430,18 @@ def train_joint(
         next_reprobe = first_iter + 1 + reprobe_every
         reprobe_state = 0  # 0 idle, 1 timing current, 2 timing other
         per_cur_probe: Optional[float] = None
+        # Last measured seconds/iter for the current and alternate
+        # backends. EVERY block's length must be fitted to the rate of
+        # the backend that will actually run it: block_cap is fitted to
+        # the current (winner) backend, so a block handed to a slower
+        # program — the re-probe's state-2 timing block, or the blocks
+        # after a demotion swap — can otherwise become a single dispatch
+        # past the runtime's ~60 s execution deadline (measured: binned
+        # 196 ms/iter fits 100-iter blocks; the first dense block after
+        # a demotion at 718 ms/iter was a 72 s dispatch -> deterministic
+        # "TPU worker crashed" at the same iteration on every retry).
+        rate_cur: Optional[float] = None
+        rate_alt: Optional[float] = None
 
         it = first_iter + 1
         block_idx = 0
@@ -431,7 +456,14 @@ def train_joint(
             )
             if it // interval < params.max_sh_degree:
                 end = min(end, (it // interval + 1) * interval - 1)
-            end = min(end, it + (block_cap or probe) - 1)
+            cap_this = block_cap or probe
+            if reprobe_state == 2:
+                # this block runs the ALTERNATE backend — bound its
+                # length by that backend's last known rate, not the
+                # current backend's (see rate_cur/rate_alt note above)
+                cap_this = min(cap_this, _fit_block(
+                    rate_alt, budget, trainer_cfg.log_every, probe))
+            end = min(end, it + cap_this - 1)
             view_ids = np.array([next_view() for _ in range(it, end + 1)],
                                 np.int32)
             iters = np.arange(it, end + 1, dtype=np.int32)
@@ -464,9 +496,20 @@ def train_joint(
                         if binned_side == "cur":
                             block_fn, alt_fn = alt_fn, block_fn
                             cur_name, alt_name = alt_name, cur_name
+                            rate_cur, rate_alt = rate_alt, rate_cur
+                            # the adopted backend may be much slower than
+                            # the one block_cap was fitted to — refit now
+                            # or the very next block can blow the ~60 s
+                            # dispatch deadline
+                            if budget > 0:
+                                block_cap = _fit_block(
+                                    rate_cur, budget,
+                                    trainer_cfg.log_every, probe)
                             print("[train] backend auto: demoting binned at "
                                   f"iter {it} — required capacities now "
-                                  "unreasonable for this scene", flush=True)
+                                  "unreasonable for this scene "
+                                  f"(blocks re-capped at {block_cap})",
+                                  flush=True)
                         start_timing = False  # skip this window; retry later
                     elif _binned_caps_grew(old, fresh):
                         fn_new = make_train_scan(
@@ -501,29 +544,29 @@ def train_joint(
                     jax.block_until_ready(metrics)
             if reprobe_state == 1:
                 per_cur_probe = (time.time() - t_blk) / max(1, end - it + 1)
+                rate_cur = per_cur_probe
                 reprobe_state = 2
             elif reprobe_state == 2:
                 per_other = (time.time() - t_blk) / max(1, end - it + 1)
                 if per_other < 0.87 * per_cur_probe:
                     block_fn, alt_fn = alt_fn, block_fn
                     cur_name, alt_name = alt_name, cur_name
+                    rate_cur, rate_alt = per_other, per_cur_probe
                     print(f"[train] backend auto: switching at iter {it} — "
                           f"other backend {per_other * 1e3:.0f} ms/iter "
                           f"beats current {per_cur_probe * 1e3:.0f}",
                           flush=True)
                     winner_per_iter = per_other
                 else:
+                    rate_alt = per_other
                     winner_per_iter = per_cur_probe
                 # re-fit the dispatch governor to the (possibly new)
                 # backend's measured rate: a stale cap calibrated on a
                 # faster program can push one scan block past the
                 # runtime's ~60 s execution deadline
                 if budget > 0:
-                    fitting = [
-                        d for d in range(1, trainer_cfg.log_every + 1)
-                        if trainer_cfg.log_every % d == 0
-                        and d * winner_per_iter <= budget]
-                    block_cap = max(fitting) if fitting else 1
+                    block_cap = _fit_block(winner_per_iter, budget,
+                                           trainer_cfg.log_every, probe)
                 reprobe_state = 0
                 next_reprobe = it + reprobe_every
             if block_cap is None and block_idx == 1:
@@ -547,14 +590,13 @@ def train_joint(
                           f"({per_alt * 1e3:.0f} ms/iter) beats {lose} "
                           f"({per_iter_main * 1e3:.0f} ms/iter)",
                           flush=True)
+                    rate_alt = per_iter_main
+                rate_cur = per_iter
                 if budget <= 0:
                     block_cap = trainer_cfg.log_every
                 else:
-                    fitting = [
-                        d for d in range(1, trainer_cfg.log_every + 1)
-                        if trainer_cfg.log_every % d == 0
-                        and d * per_iter <= budget]
-                    block_cap = max(fitting) if fitting else 1
+                    block_cap = _fit_block(per_iter, budget,
+                                           trainer_cfg.log_every, probe)
                 warm_probed = True
                 if block_cap < trainer_cfg.log_every:
                     print(f"[train] dispatch governor: {per_iter * 1e3:.0f} "
