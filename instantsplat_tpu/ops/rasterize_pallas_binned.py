@@ -633,8 +633,13 @@ def sizing_margin(cf_raw: float, dl_raw: int) -> tuple[int, int]:
     tracers)."""
     import math
 
+    # Proportional d_levels headroom: scenes that NEED many levels are
+    # exactly the drift-prone ones (round-5 e2e: requirement 51 -> past
+    # 64 within 300 training iterations; a +2 margin forced a re-size
+    # recompile every re-probe window). Small-dl scenes keep the flat +2.
+    dl = int(dl_raw)
     return max(CAP_FACTOR, math.ceil(float(cf_raw)) + 1), \
-        max(4, int(dl_raw) + 2)
+        max(4, dl + max(2, dl // 4))
 
 
 def bin_requirements(mean2d, conic, log_opacity, valid,

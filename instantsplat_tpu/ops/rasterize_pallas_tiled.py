@@ -650,9 +650,12 @@ def sizing_margin_2d(cf_raw: float, dy_raw: int,
     bound 250 iterations of drift."""
     import math
 
+    dy, dx = int(dy_raw), int(dx_raw)
+    # proportional drift headroom, like the binned kernel's (big-level
+    # scenes drift fastest; flat +1 forced a rebuild every window)
     return (max(CAP_FACTOR, math.ceil(float(cf_raw)) + 1),
-            max(3, int(dy_raw) + 1),
-            max(2, int(dx_raw) + 1))
+            max(3, dy + max(1, dy // 4)),
+            max(2, dx + max(1, dx // 4)))
 
 
 def tile_requirements(mean2d, conic, log_opacity, valid,

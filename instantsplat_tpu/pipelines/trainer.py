@@ -203,7 +203,13 @@ def make_train_scan(
 # candidate level product; extreme requirements mean the scene is
 # dense-kernel territory anyway)
 _MAX_BINNED_CAP_FACTOR = 16
-_MAX_BINNED_D_LEVELS = 64
+# 128, not 64: the round-5 e2e scene (150k-pt co-vis+max_pts downsample,
+# whose sparsified KNN scales grow a giant-splat radius tail) sizes
+# binned at dl=51 and drifts past 64 within 300 iterations — and the
+# dense fallback measured 3.7-11x SLOWER there (718 vs 196 ms/iter at
+# iter 0; plane-400k 1800 vs 236). The cap only guards absurd sort/memory
+# blowups; the timed auto-probe is what actually picks the backend.
+_MAX_BINNED_D_LEVELS = 128
 _MAX_TILED_LEVEL_PRODUCT = 64  # dy * dx (the candidate sort is O(N*dy*dx))
 
 # Periodic backend re-probe cadence (iterations); module-level so tests can
